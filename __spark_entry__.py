@@ -3,8 +3,12 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The registry lives in lazyosm_spark/plans/driver_queries.py — each
+SQL-expressible operator of SURVEY.md §2 has a Spark/DuckDB twin pair;
+geometry/fixture operators are rows-only (pytest carries their golden
+oracles, tests/).
 """
 
 from __future__ import annotations
@@ -15,24 +19,33 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the spatial join —
+    derived points x tile pyramid, coarse cell equi-join + vectorized
+    PIP refine, then a per-tile rollup."""
+    from pyspark.sql import functions as F
+
+    from lazyosm_spark.operators.spatial_join import tile_points
+    from lazyosm_spark.plans.driver_queries import _doc_points
+    from lazyosm_spark.sources.fixtures import gen_tiles
+
+    sf_dir = "/root/testdata/sf0.001"
+    pts = _doc_points(spark, sf_dir).selectExpr("doc_id as point_id", "lon", "lat")
+    tiles = spark.createDataFrame(gen_tiles())
+    membership = tile_points(pts, tiles)
+    return (
+        membership.groupBy("tile_id", "resolution")
+        .agg(F.count("*").alias("n_points"))
+        .orderBy(F.desc("n_points"), "tile_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from lazyosm_spark.plans.driver_queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lazyosm_spark.plans.driver_queries import ORACLES
+
+    return dict(ORACLES)

@@ -29,12 +29,19 @@ _X_SHIFT = 29
 
 
 def _lit(v) -> Column:
-    return v if isinstance(v, Column) else F.lit(v)
+    if isinstance(v, Column):
+        return v
+    if isinstance(v, str):  # column name
+        return F.col(v)
+    return F.lit(v)
 
 
 def cell_nx(res) -> Column:
-    """Grid width at resolution ``res`` (2^res)."""
-    return F.shiftleft(F.lit(1).cast("long"), _lit(res).cast("int"))
+    """Grid width at resolution ``res`` (2^res).  Arithmetic instead of
+    shiftleft: the PySpark wrapper only takes Python-int bit counts."""
+    if isinstance(res, int):
+        return F.lit(1 << res).cast("long")
+    return F.pow(F.lit(2.0), _lit(res).cast("double")).cast("long")
 
 
 def lon_to_x(lon, res) -> Column:
@@ -52,8 +59,8 @@ def lat_to_y(lat, res) -> Column:
 
 def pack_cell(x, y, res) -> Column:
     return (
-        F.shiftleft(_lit(res).cast("long"), _RES_SHIFT)
-        + F.shiftleft(_lit(x).cast("long"), _X_SHIFT)
+        _lit(res).cast("long") * F.lit(1 << _RES_SHIFT).cast("long")
+        + _lit(x).cast("long") * F.lit(1 << _X_SHIFT).cast("long")
         + _lit(y).cast("long")
     )
 
@@ -68,18 +75,23 @@ def cell_res(cell) -> Column:
 
 
 def cell_x(cell) -> Column:
-    return F.shiftright(_lit(cell), _X_SHIFT) & F.lit((1 << _RES_SHIFT - _X_SHIFT) - 1)
+    return F.shiftright(_lit(cell).cast("long"), _X_SHIFT).bitwiseAND(
+        F.lit((1 << _RES_SHIFT - _X_SHIFT) - 1).cast("long")
+    )
 
 
 def cell_y(cell) -> Column:
-    return _lit(cell) & F.lit((1 << _X_SHIFT) - 1)
+    return _lit(cell).cast("long").bitwiseAND(F.lit((1 << _X_SHIFT) - 1).cast("long"))
 
 
 def cell_parent(cell, parent_res) -> Column:
-    """Ancestor cell at coarser ``parent_res`` (hierarchical containment)."""
-    dr = (cell_res(cell) - _lit(parent_res)).cast("int")
+    """Ancestor cell at coarser ``parent_res`` (hierarchical containment).
+    x >> dr as floor division (x, y nonnegative; dr is a column)."""
+    scale = F.pow(F.lit(2.0), (cell_res(cell) - _lit(parent_res)).cast("double"))
     return pack_cell(
-        F.shiftright(cell_x(cell), dr), F.shiftright(cell_y(cell), dr), parent_res
+        F.floor(cell_x(cell) / scale).cast("long"),
+        F.floor(cell_y(cell) / scale).cast("long"),
+        parent_res,
     )
 
 

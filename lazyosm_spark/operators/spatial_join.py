@@ -1,0 +1,152 @@
+"""The flagship spatial join: cell-key equi-join prefilter + PIP refine.
+
+Distributes the reference's point-in-polygon theta-join (SURVEY.md §2.3
+J6 — ray-cast Pip over ring vertices, relation_handler.go:43-81) as a
+two-phase Spark plan:
+
+  1. COARSE: encode each point to a cell id at every resolution the tile
+     set uses (pure JVM arithmetic, functions/cells.py) and equi-join on
+     cell == tile_id.  Because tile_id packs its resolution in the high
+     bits, one long-vs-long equi-join handles a mixed-resolution tile
+     pyramid.  Catalyst/AQE picks broadcast vs shuffle.
+  2. REFINE: cogrouped applyInPandas per tile — one vectorized ray-cast
+     (numpy, functions/geometry.pip_mask) of the tile's candidate point
+     batch against its ring.  Cogroup means the ring ships once per
+     group, not once per candidate row.
+
+Skew (the "dense city" tile): ``salt=n`` splits each tile's candidate
+batch across n subgroups — candidates get pmod(xxhash64(point_id), n),
+tiles replicate n ways — so no single task owns a hot tile.  This plus
+AQE skew-join is the engine's answer to the reference's LRU-thrash
+Limit override (nodemap.go:156-158).
+
+At 10^12 points the coarse join shuffles |points| × |resolutions| rows;
+keep the tile pyramid to the 2-3 resolutions that bound tile sizes, and
+pre-repartition points by cell with ``repartition_by_cell`` so repeated
+joins reuse the partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lazyosm_spark.functions.cells import cell_encode
+from lazyosm_spark.functions.geometry import pip_mask
+
+MEMBERSHIP_SCHEMA = "point_id string, tile_id long, resolution int"
+
+
+def _refine(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One tile's candidate batch (ring constant within the group):
+    one vectorized ray-cast of all points against the ring."""
+    if len(pdf) == 0:
+        return pd.DataFrame(columns=["point_id", "tile_id", "resolution"])
+    ring = np.asarray([list(p) for p in pdf["ring"].iloc[0]], dtype=np.float64)
+    if len(ring) > 1 and (ring[0] == ring[-1]).all():
+        ring = ring[:-1]  # implicit closing edge (reference wraparound)
+    xy = np.column_stack(
+        [pdf["lon"].to_numpy(np.float64), pdf["lat"].to_numpy(np.float64)]
+    )
+    inside = pip_mask(ring, xy)
+    return pd.DataFrame(
+        {
+            "point_id": pdf["point_id"].to_numpy()[inside],
+            "tile_id": pdf["tile_id"].iloc[0],
+            "resolution": pdf["resolution"].iloc[0],
+        }
+    )
+
+
+def tile_points(
+    points: DataFrame,
+    tiles: DataFrame,
+    point_id: str = "point_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    salt: int | None = None,
+) -> DataFrame:
+    """points(point_id, lon, lat) × tiles(tile_id, resolution, ring)
+    -> exact membership (point_id, tile_id, resolution).
+
+    Coarse cell equi-join (tile_id packs its resolution, so one
+    long=long join covers the mixed-resolution pyramid), then a grouped
+    PIP refine per (tile[, salt-bucket]).  The join also prunes tiles
+    with no candidates before any Python runs.
+
+    Note: a cogrouped refine (ring shipped once per group instead of
+    per candidate row) segfaults pyarrow 16.1's cogroup serializer on
+    multi-row batches — join+groupBy is the stable formulation; rings
+    are small (<= a few dozen vertices) so the duplication is cheap.
+
+    Ring vertex-on-boundary semantics are the reference Pip's (bottom/
+    left inclusive, top/right exclusive) — golden fixtures pin them.
+    """
+    res_rows = tiles.select("resolution").distinct().collect()
+    res_list = sorted(int(r[0]) for r in res_rows)
+
+    pts = points.select(
+        F.col(point_id).cast("string").alias("point_id"),
+        F.col(lon).alias("lon"),
+        F.col(lat).alias("lat"),
+    )
+    cells = pts.select(
+        "point_id",
+        "lon",
+        "lat",
+        F.explode(
+            F.array(*[cell_encode(F.col("lon"), F.col("lat"), r) for r in res_list])
+        ).alias("cell"),
+    )
+    joined = cells.join(
+        tiles.select(
+            F.col("tile_id").alias("cell"), "tile_id", "resolution", "ring"
+        ),
+        "cell",
+    )
+    if salt:
+        joined = joined.withColumn(
+            "salt_b", F.pmod(F.xxhash64("point_id"), F.lit(salt)).cast("int")
+        )
+        grouped = joined.groupBy("tile_id", "salt_b")
+    else:
+        grouped = joined.groupBy("tile_id")
+    return grouped.applyInPandas(_refine, MEMBERSHIP_SCHEMA)
+
+
+def tile_points_coarse(
+    points: DataFrame,
+    tiles: DataFrame,
+    point_id: str = "point_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Coarse phase only (cell equi-join, no PIP) — exact when tile
+    rings ARE their cell bboxes; also the SQL-oracle-checkable layer."""
+    res_list = sorted(
+        int(r[0]) for r in tiles.select("resolution").distinct().collect()
+    )
+    pts = points.select(
+        F.col(point_id).cast("string").alias("point_id"),
+        F.col(lon).alias("lon"),
+        F.col(lat).alias("lat"),
+    )
+    cells = pts.select(
+        "point_id",
+        F.explode(
+            F.array(*[cell_encode(F.col("lon"), F.col("lat"), r) for r in res_list])
+        ).alias("cell"),
+    )
+    return cells.join(
+        tiles.select(F.col("tile_id").alias("cell"), "tile_id", "resolution"),
+        "cell",
+    ).select("point_id", "tile_id", "resolution")
+
+
+def repartition_by_cell(df: DataFrame, cell_col: str, n: int) -> DataFrame:
+    """Range-partition on cell id — co-locates spatially adjacent data
+    (Z-order-ish locality), the shuffle-reuse analog of the reference's
+    greedy block path (shortest_path.go:99-281, SURVEY.md §4)."""
+    return df.repartitionByRange(n, F.col(cell_col))

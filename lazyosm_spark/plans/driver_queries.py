@@ -1,0 +1,927 @@
+"""Driver-contract query registry: Spark query + DuckDB oracle twins.
+
+Every SQL-expressible operator from SURVEY.md §2 (plus the
+training-data-pipeline suite) is registered here as a pair:
+
+    QUERIES[name]  = fn(spark, sf_dir) -> DataFrame
+    ORACLES[name]  = DuckDB SQL over the same parquet views
+
+The driver compares row count + schema + order-insensitive value hash,
+so both sides must produce IDENTICAL values:
+- every computed column is aliased the same on both sides;
+- float aggregates are built from formula-identical expressions (same
+  op order -> same IEEE result) or integer-unit arithmetic;
+- hashes are md5-prefix-to-int64 (functions/hashing), portable;
+- DuckDB sums of INTEGER promote to HUGEINT -> always CAST to BIGINT;
+  integer division differs -> always CAST before '/'.
+
+Geometry/fixture operators that the DuckDB views can't express are in
+FIXTURE_QUERIES (rows-only checks; pytest carries their oracles).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lazyosm_spark.functions import cells
+from lazyosm_spark.functions.decode import (
+    delta_decode,
+    round_ref,
+    round_ref_sql,
+    zigzag_decode,
+)
+from lazyosm_spark.functions.hashing import md5_long, md5_long_sql
+from lazyosm_spark.operators import dedup, similarity, text
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# derived point cloud: deterministic lon/lat from doc_id (golden-ratio
+# sequence, same formula as fixtures.image_lonlat) — SQL-expressible, so
+# spatial operators get real oracle checks on driver testdata.
+# --------------------------------------------------------------------------
+
+PHI = 0.61803398875
+PHI2 = PHI * PHI
+
+
+def _doc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("double")
+    lon = F.lit(-180.0) + F.lit(360.0) * (i * PHI - F.floor(i * PHI))
+    lat = F.lit(-85.0) + F.lit(170.0) * (i * PHI2 - F.floor(i * PHI2))
+    return d.select("doc_id", lon.alias("lon"), lat.alias("lat"))
+
+
+_DOC_POINTS_SQL = f"""
+SELECT doc_id,
+       (-180.0 + 360.0 * (CAST(doc_id AS DOUBLE) * {PHI!r} - floor(CAST(doc_id AS DOUBLE) * {PHI!r}))) AS lon,
+       (-85.0  + 170.0 * (CAST(doc_id AS DOUBLE) * {PHI2!r} - floor(CAST(doc_id AS DOUBLE) * {PHI2!r}))) AS lat
+FROM documents
+"""
+
+
+# ======================================================================
+# Aggregations (SURVEY §2.4) — TPC-H Q1 shape, integer-unit money math
+# ======================================================================
+
+
+@_register(
+    "tpch1_pricing",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity)) AS BIGINT)                                   AS sum_qty,
+       CAST(round(sum(l_extendedprice * 100)) AS BIGINT)                        AS sum_base_cents,
+       CAST(round(sum(round(l_extendedprice * (1 - l_discount) * 10000))) AS BIGINT) AS sum_disc_e4,
+       CAST(count(*) AS BIGINT)                                                 AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_tpch1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * 100)).cast("long").alias("sum_base_cents"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000))
+            )
+            .cast("long")
+            .alias("sum_disc_e4"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "bbox_minmax_agg",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT)            AS n,
+       round(min(value), 6)                AS vmin,
+       round(max(value), 6)                AS vmax
+FROM events GROUP BY event_type
+""",
+)
+def q_bbox_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+@_register(
+    "distinct_agg",
+    """
+SELECT l_suppkey,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem GROUP BY l_suppkey
+""",
+)
+def q_distinct_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+    )
+
+
+@_register(
+    "rollup_counts",
+    """
+SELECT coalesce(l_returnflag, '<all>')  AS rf,
+       coalesce(l_linestatus, '<all>')  AS ls,
+       CAST(count(*) AS BIGINT)         AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def q_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("ls"),
+            "n",
+        )
+    )
+
+
+@_register(
+    "pivot_case_agg",
+    """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type NOT IN ('click','view') THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+FROM events GROUP BY user_id
+""",
+)
+def q_pivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast("long").alias("n_click"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).cast("long").alias("n_view"),
+        F.sum(F.when(~F.col("event_type").isin("click", "view"), 1).otherwise(0)).cast("long").alias("n_other"),
+    )
+
+
+# ======================================================================
+# Windows (SURVEY §2.5 W1: delta decode == prefix sum) + sessionize
+# ======================================================================
+
+
+@_register(
+    "cumsum_window",
+    """
+SELECT event_id,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+FROM events
+""",
+)
+def q_cumsum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.sum(F.floor(F.col("value") * 100).cast("long")).over(w).cast("long").alias("running_cents"),
+    )
+
+
+@_register(
+    "delta_decode_arrays",
+    """
+SELECT event_id,
+       CAST(sum(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS decoded
+FROM events
+""",
+)
+def q_delta_decode_arrays(spark, sf_dir):
+    """The engine's intra-row array delta decode (Arrow cumsum UDF,
+    reference process.go:131-137) checked against the window form."""
+    ev = _t(spark, sf_dir, "events")
+    packed = (
+        ev.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id"))).alias("s")
+        )
+        .select(
+            "user_id",
+            F.transform("s", lambda x: x["event_id"]).alias("ids"),
+        )
+    )
+    decoded = packed.select(
+        "user_id",
+        F.explode(
+            F.arrays_zip(
+                F.col("ids").alias("event_id"),
+                delta_decode("ids").alias("decoded"),
+            )
+        ).alias("z"),
+    )
+    return decoded.select(
+        F.col("z.event_id").alias("event_id"),
+        F.col("z.decoded").cast("long").alias("decoded"),
+    )
+
+
+@_register(
+    "topk_per_group",
+    """
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk
+  FROM orders) WHERE rnk <= 3
+""",
+)
+def q_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@_register(
+    "sessionize",
+    """
+WITH g AS (
+  -- date_diff('second') counts second boundaries == Spark's
+  -- unix_timestamp (truncating) difference
+  SELECT user_id, event_id, ts,
+         CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 3600 OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM g
+""",
+)
+def q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    g = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 3600), 1).otherwise(0)
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return g.select(
+        "user_id",
+        "event_id",
+        F.sum("new_s").over(wsum).cast("long").alias("session_id"),
+    )
+
+
+# ======================================================================
+# Joins (SURVEY §2.3)
+# ======================================================================
+
+
+@_register(
+    "way_node_assembly",
+    """
+SELECT l_orderkey,
+       array_to_string(list_sort(list(l_linenumber)), ',') AS line_seq,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem GROUP BY l_orderkey
+""",
+)
+def q_assembly(spark, sf_dir):
+    """J1 shape: ordered collect per key (way refs -> coordinate list),
+    serialized as a string so the hash compares across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("l_linenumber"))).alias("line_seq"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+@_register(
+    "three_level_join",
+    """
+SELECT r.r_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(o.o_totalprice * 100)) AS BIGINT) AS total_cents
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY r.r_name
+""",
+)
+def q_three_level(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice") * 100)).cast("long").alias("total_cents"),
+        )
+    )
+
+
+@_register(
+    "semi_join_members",
+    """
+SELECT c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+)
+def q_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+@_register(
+    "anti_join_missing",
+    """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@_register(
+    "zone_map_prune",
+    """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(l_orderkey) AS BIGINT) AS min_key, CAST(max(l_orderkey) AS BIGINT) AS max_key
+FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
+GROUP BY l_returnflag
+""",
+)
+def q_zone_prune(spark, sf_dir):
+    """J4 analog: id-range predicate -> parquet row-group pruning (the
+    reference's IdMap zone maps, idmap.go:89-135, for free)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey").between(1000, 2000))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("l_orderkey").cast("long").alias("min_key"),
+            F.max("l_orderkey").cast("long").alias("max_key"),
+        )
+    )
+
+
+# ======================================================================
+# Scalar functions (SURVEY §2.8): zigzag, round_ref, hamming
+# ======================================================================
+
+
+@_register(
+    "zigzag_decode",
+    """
+SELECT event_id,
+       CAST(xor(event_id >> 1, -(event_id & 1)) AS BIGINT) AS zz
+FROM events
+""",
+)
+def q_zigzag(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", zigzag_decode("event_id").alias("zz"))
+
+
+@_register(
+    "round_half_ref",
+    f"""
+SELECT l_orderkey, l_linenumber,
+       {round_ref_sql("l_discount - 0.05")} AS r_pos_neg,
+       {round_ref_sql("l_extendedprice * (1 - l_discount) / 7.0")} AS r_price
+FROM lineitem
+""",
+)
+def q_round_ref(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        round_ref(F.col("l_discount") - 0.05).alias("r_pos_neg"),
+        round_ref(F.col("l_extendedprice") * (1 - F.col("l_discount")) / 7.0).alias("r_price"),
+    )
+
+
+@_register(
+    "hamming_distance",
+    """
+SELECT CAST(bit_count(xor(l_orderkey, l_partkey)) AS BIGINT) AS hamming,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1
+""",
+)
+def q_hamming(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.bit_count(F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")))
+            .cast("long")
+            .alias("hamming")
+        )
+        .groupBy("hamming")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+# ======================================================================
+# Cell index (SURVEY §2.9 G-new): encode / parent / bbox cover
+# ======================================================================
+
+
+@_register(
+    "cell_encode",
+    f"""
+SELECT doc_id, {cells.cell_encode_sql('lon', 'lat', 6)} AS cell
+FROM ({_DOC_POINTS_SQL})
+""",
+)
+def q_cell_encode(spark, sf_dir):
+    pts = _doc_points(spark, sf_dir)
+    return pts.select("doc_id", cells.cell_encode("lon", "lat", 6).alias("cell"))
+
+
+@_register(
+    "cell_parent",
+    f"""
+SELECT doc_id,
+       {cells.cell_encode_sql('lon', 'lat', 10)} AS cell_fine,
+       {cells.cell_encode_sql('lon', 'lat', 4)}  AS cell_coarse
+FROM ({_DOC_POINTS_SQL})
+""",
+)
+def q_cell_parent(spark, sf_dir):
+    """Hierarchy invariant: parent(encode(p, 10), 4) == encode(p, 4) —
+    the engine computes the parent via bit shifts, the oracle re-encodes
+    at the coarse resolution; equality IS the containment proof."""
+    pts = _doc_points(spark, sf_dir)
+    fine = cells.cell_encode("lon", "lat", 10)
+    return pts.select(
+        "doc_id",
+        fine.alias("cell_fine"),
+        cells.cell_parent(fine, 4).alias("cell_coarse"),
+    )
+
+
+@_register(
+    "cover_bbox",
+    f"""
+WITH p AS ({_DOC_POINTS_SQL})
+SELECT doc_id,
+       CAST((greatest(0, least(CAST(floor((lon + 0.5 + 180.0) / 360.0 * 256) AS BIGINT), 255))
+           - greatest(0, least(CAST(floor((lon - 0.5 + 180.0) / 360.0 * 256) AS BIGINT), 255)) + 1)
+          * (greatest(0, least(CAST(floor((lat + 0.5 + 90.0) / 180.0 * 256) AS BIGINT), 255))
+           - greatest(0, least(CAST(floor((lat - 0.5 + 90.0) / 180.0 * 256) AS BIGINT), 255)) + 1) AS BIGINT) AS n_cells,
+       {cells.cell_encode_sql('lon - 0.5', 'lat - 0.5', 8)} AS first_cell,
+       {cells.cell_encode_sql('lon + 0.5', 'lat + 0.5', 8)} AS last_cell
+FROM p
+""",
+)
+def q_cover_bbox(spark, sf_dir):
+    pts = _doc_points(spark, sf_dir)
+    cover = cells.cover_bbox(
+        F.col("lon") - 0.5, F.col("lat") - 0.5, F.col("lon") + 0.5, F.col("lat") + 0.5, 8
+    )
+    return pts.select(
+        "doc_id",
+        F.size(cover).cast("long").alias("n_cells"),
+        F.element_at(cover, 1).alias("first_cell"),
+        F.element_at(cover, -1).alias("last_cell"),
+    )
+
+
+@_register(
+    "tile_membership_coarse",
+    f"""
+WITH p AS ({_DOC_POINTS_SQL}),
+     pc AS (SELECT doc_id, {cells.cell_encode_sql('lon', 'lat', 4)} AS cell FROM p),
+     t AS (SELECT DISTINCT {cells.cell_encode_sql('lon', 'lat', 4)} AS cell
+           FROM (SELECT c_custkey AS doc_id,
+                        (-180.0 + 360.0 * (CAST(c_custkey AS DOUBLE) * {PHI!r} - floor(CAST(c_custkey AS DOUBLE) * {PHI!r}))) AS lon,
+                        (-85.0  + 170.0 * (CAST(c_custkey AS DOUBLE) * {PHI2!r} - floor(CAST(c_custkey AS DOUBLE) * {PHI2!r}))) AS lat
+                 FROM customer))
+SELECT pc.cell AS cell, CAST(count(*) AS BIGINT) AS n_docs
+FROM pc JOIN t ON pc.cell = t.cell GROUP BY pc.cell
+""",
+)
+def q_tile_coarse(spark, sf_dir):
+    """The spatial join's coarse phase on driver testdata: doc points vs
+    'tiles' = distinct cells of a customer-derived point set."""
+    pts = _doc_points(spark, sf_dir).select(
+        "doc_id", cells.cell_encode("lon", "lat", 4).alias("cell")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    i = F.col("c_custkey").cast("double")
+    lon = F.lit(-180.0) + F.lit(360.0) * (i * PHI - F.floor(i * PHI))
+    lat = F.lit(-85.0) + F.lit(170.0) * (i * PHI2 - F.floor(i * PHI2))
+    tiles = cust.select(cells.cell_encode(lon, lat, 4).alias("cell")).distinct()
+    return (
+        pts.join(tiles, "cell")
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+# ======================================================================
+# kNN (grid + cosine)
+# ======================================================================
+
+
+@_register(
+    "grid_knn",
+    f"""
+WITH p AS ({_DOC_POINTS_SQL}),
+     q AS (SELECT * FROM p WHERE doc_id < 20)
+SELECT q.doc_id AS query_id, CAST(p.doc_id AS STRING) AS neighbor_id, rnk AS rank
+FROM (
+  SELECT q.doc_id, p.doc_id AS pid,
+         row_number() OVER (PARTITION BY q.doc_id
+            ORDER BY sqrt((q.lon - p.lon)*(q.lon - p.lon) + (q.lat - p.lat)*(q.lat - p.lat)) ASC,
+                     CAST(p.doc_id AS STRING) ASC) AS rnk
+  FROM q, p WHERE p.doc_id != q.doc_id
+) s JOIN p ON p.doc_id = s.pid JOIN q ON q.doc_id = s.doc_id
+WHERE rnk <= 5
+""",
+)
+def q_grid_knn(spark, sf_dir):
+    from lazyosm_spark.operators.knn import grid_knn
+
+    pts = _doc_points(spark, sf_dir)
+    queries = pts.filter(F.col("doc_id") < 20).selectExpr(
+        "doc_id as query_id", "lon", "lat"
+    )
+    # keep all points; ask for k=6 and drop the self pair afterwards to
+    # mirror the oracle's p != q
+    points = pts.selectExpr("doc_id as point_id", "lon", "lat")
+    out = grid_knn(queries, points, k=6, res=5)
+    out = out.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "neighbor_id",
+            "rank",
+        )
+    )
+
+
+@_register(
+    "cosine_topk",
+    """
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+     it AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, it.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY (list_dot_product(q.v, it.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(it.v, it.v)))) DESC,
+                     it.vec_id ASC) AS rank
+  FROM q, it WHERE it.vec_id != q.vec_id
+) WHERE rank <= 5
+""",
+)
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# ======================================================================
+# Dedup + text suite over documents
+# ======================================================================
+
+
+_NORM_TEXT_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+_NORM_HASH_SQL = md5_long_sql(_NORM_TEXT_SQL)
+
+
+@_register(
+    "exact_dedup",
+    f"""
+WITH h AS (SELECT doc_id,
+       {_NORM_HASH_SQL} AS text_hash
+FROM documents)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text_hash, CAST(count(*) AS BIGINT) AS group_size
+FROM h GROUP BY text_hash
+""",
+)
+def q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_sql(n_hashes: int, ngram: int = 3) -> str:
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    sh = (
+        f"list_distinct([array_to_string(({toks})[i:i+{ngram - 1}], ' ') "
+        f"for i in range(1, greatest(len({toks}) - {ngram - 1}, 0) + 1)])"
+    )
+    sig_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> {md5_long_sql('s', seed=i)})) AS sig_{i}"
+        for i in range(n_hashes)
+    )
+    return f"WITH s AS (SELECT doc_id, {sh} AS sh FROM documents) SELECT doc_id, {sig_cols} FROM s"
+
+
+@_register("minhash_signatures", _minhash_sql(4))
+def q_minhash_sigs(spark, sf_dir):
+    return dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), n_hashes=4
+    )
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    """
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents),
+     s AS (SELECT doc_id,
+           list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, greatest(len(tk) - 2, 0) + 1)]) AS sh
+           FROM toks)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 9) AS jaccard
+FROM s a, s b
+WHERE a.doc_id < b.doc_id
+  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.12
+""",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    out = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.12
+    )
+    return out.select("doc_id_a", "doc_id_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+@_register(
+    "token_stats",
+    r"""
+WITH t AS (SELECT doc_id, text,
+        regexp_split_to_array(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_wordpieces,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len
+FROM t
+""",
+)
+def q_token_stats(spark, sf_dir):
+    return text.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "langid",
+    r"""
+WITH t AS (SELECT doc_id,
+        regexp_split_to_array(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+FROM documents),
+sc AS (SELECT doc_id,
+  [struct_pack(score := CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','ein'], x))) AS DOUBLE) / greatest(CAST(len(toks) AS DOUBLE), 1.0), lang := 'de'),
+   struct_pack(score := CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is'], x))) AS DOUBLE) / greatest(CAST(len(toks) AS DOUBLE), 1.0), lang := 'en'),
+   struct_pack(score := CAST(len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','une'], x))) AS DOUBLE) / greatest(CAST(len(toks) AS DOUBLE), 1.0), lang := 'fr')] AS scored
+FROM t)
+SELECT doc_id,
+       list_sort(list_filter(scored, s -> s.score = list_max(list_transform(scored, x -> x.score))))[1].lang AS lang_pred,
+       list_max(list_transform(scored, x -> x.score)) AS score
+FROM sc
+""",
+)
+def q_langid(spark, sf_dir):
+    return text.langid(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "quality_score",
+    r"""
+WITH t AS (SELECT doc_id, text,
+        regexp_split_to_array(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+FROM documents)
+SELECT doc_id,
+       least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+       CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+       CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is'], x))) AS DOUBLE)
+          / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS stop_ratio,
+       (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        * (1 - CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0))
+        * (0.5 + 0.5 * (CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is'], x))) AS DOUBLE)
+                        / greatest(CAST(len(toks) AS DOUBLE), 1.0)))) AS quality
+FROM t
+""",
+)
+def q_quality(spark, sf_dir):
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "doc_fingerprint",
+    rf"""
+WITH t AS (SELECT doc_id,
+        regexp_split_to_array(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+FROM documents)
+SELECT doc_id,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> {md5_long_sql('t')})),
+            (acc, h) -> (acc * 131 + h) % 2147483647) AS BIGINT) AS fingerprint
+FROM t
+""",
+)
+def q_fingerprint(spark, sf_dir):
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ======================================================================
+# Fixture-backed operators (geometry / images) — no DuckDB oracle; the
+# driver records rows-only checks, pytest carries the golden oracles.
+# ======================================================================
+
+FIXTURE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
+def _register_fixture(name: str):
+    def deco(fn):
+        FIXTURE_QUERIES[name] = fn
+        return fn
+
+    return deco
+
+
+def _fixture_scale(sf_dir: str) -> str:
+    return {"sf0.001": "tiny", "sf0.01": "small", "sf0.1": "small"}.get(
+        os.path.basename(sf_dir.rstrip("/")), "small"
+    )
+
+
+@_register_fixture("fx_relation_assembly")
+def q_fx_assembly(spark, sf_dir):
+    """Ring connect + PIP nesting -> (Multi)Polygon features."""
+    from lazyosm_spark.operators.osm import (
+        decode_nodes,
+        decode_relations,
+        decode_ways,
+        relation_features,
+    )
+    from lazyosm_spark.sources.fixtures import load_fixtures
+
+    fx = load_fixtures(spark, _fixture_scale(sf_dir))
+    rf = relation_features(
+        decode_relations(fx["relations_encoded"]),
+        decode_ways(fx["ways_encoded"]),
+        decode_nodes(fx["nodes_encoded"]),
+    )
+    return rf.select("osm_id", "geom_type", "n_outers", "n_inners").orderBy("osm_id")
+
+
+@_register_fixture("fx_way_features")
+def q_fx_way_features(spark, sf_dir):
+    from lazyosm_spark.operators.osm import decode_nodes, decode_ways, way_features
+    from lazyosm_spark.sources.fixtures import load_fixtures
+
+    fx = load_fixtures(spark, _fixture_scale(sf_dir))
+    wf = way_features(decode_ways(fx["ways_encoded"]), decode_nodes(fx["nodes_encoded"]))
+    return wf.select("osm_id", "geom_type").orderBy("osm_id")
+
+
+@_register_fixture("fx_spatial_join_pip")
+def q_fx_spatial_join(spark, sf_dir):
+    """The flagship: image points x tile polygons, coarse cell join +
+    vectorized PIP refine."""
+    from lazyosm_spark.operators.spatial_join import tile_points
+    from lazyosm_spark.sources.fixtures import image_lonlat_sql, load_fixtures
+
+    fx = load_fixtures(spark, _fixture_scale(sf_dir))
+    images = fx["images"]
+    i = F.regexp_extract("image_id", r"(\d+)", 1).cast("long").cast("double")
+    lon_sql, lat_sql = image_lonlat_sql("i")
+    pts = images.select(F.col("image_id"), i.alias("i")).selectExpr(
+        "image_id", f"{lon_sql} as lon", f"{lat_sql} as lat"
+    )
+    out = tile_points(pts, fx["tiles"], point_id="image_id")
+    return out.orderBy("point_id", "tile_id")
+
+
+@_register_fixture("fx_image_roundtrip")
+def q_fx_image_roundtrip(spark, sf_dir):
+    """decode(encode(img)) fidelity + caption byte-equality (input_hint
+    per-row invariant): psnr >= 40 lossy, inf lossless."""
+    from lazyosm_spark.sources.fixtures import caption_for_image_id, load_fixtures
+    from lazyosm_spark.sources.images import ROUNDTRIP_SCHEMA, roundtrip_verify_batches
+
+    fx = load_fixtures(spark, _fixture_scale(sf_dir))
+    out = fx["images"].mapInPandas(
+        roundtrip_verify_batches(caption_for_image_id), ROUNDTRIP_SCHEMA
+    )
+    return out.select(
+        "image_id",
+        (F.col("psnr") >= 40.0).alias("psnr_ok"),
+        "caption_ok",
+    ).orderBy("image_id")
+
+
+@_register_fixture("fx_phash_hamming_knn")
+def q_fx_phash_knn(spark, sf_dir):
+    from lazyosm_spark.operators.knn import phash_hamming_topk
+    from lazyosm_spark.sources.fixtures import load_fixtures
+
+    fx = load_fixtures(spark, _fixture_scale(sf_dir))
+    images = fx["images"]
+    queries = images.limit(10)
+    return phash_hamming_topk(images, queries, k=5).orderBy("query_id", "rank")
+
+
+@_register_fixture("fx_minhash_lsh_pairs")
+def q_fx_lsh(spark, sf_dir):
+    """Full LSH dedup pipeline (bands -> bucket join -> verify)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.12).orderBy(
+        "doc_id_a", "doc_id_b"
+    )
+
+
+@_register_fixture("fx_simhash_near_pairs")
+def q_fx_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=12).orderBy(
+        "doc_id_a", "doc_id_b"
+    )
+
+
+@_register_fixture("fx_lsh_ann_topk")
+def q_fx_lsh_ann(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    ).orderBy("query_id", "rank")
+
+
+@_register_fixture("fx_grid_knn_large")
+def q_fx_grid_knn(spark, sf_dir):
+    """Grid kNN with a larger query fan-out (all doc points as queries)
+    — exercises the ring-expansion rounds + brute-force fallback."""
+    from lazyosm_spark.operators.knn import grid_knn
+
+    pts = _doc_points(spark, sf_dir)
+    q = pts.selectExpr("doc_id as query_id", "lon", "lat")
+    p = pts.selectExpr("doc_id as point_id", "lon", "lat")
+    out = grid_knn(q, p, k=4, res=6)
+    return out.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.max("dist"), 9).alias("kth_dist"),
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out = dict(QUERIES)
+    out.update(FIXTURE_QUERIES)
+    return out

@@ -1,0 +1,110 @@
+"""Spatial join + kNN vs brute-force oracles on tiny fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tests.oracle import reference_oracle as ro
+
+
+def _points(n=200):
+    phi, phi2 = 0.61803398875, 0.61803398875**2
+    i = np.arange(n, dtype=float)
+    lon = -180.0 + 360.0 * ((i * phi) % 1.0)
+    lat = -85.0 + 170.0 * ((i * phi2) % 1.0)
+    return [(f"p{j}", float(lon[j]), float(lat[j])) for j in range(n)]
+
+
+def test_tile_points_matches_bruteforce_oracle(spark, fx):
+    from lazyosm_spark.operators.spatial_join import tile_points
+
+    pts = _points(300)
+    pdf = spark.createDataFrame(pts, "point_id string, lon double, lat double")
+    tiles = fx["tiles"]
+    got = {
+        (r["point_id"], r["tile_id"])
+        for r in tile_points(pdf, tiles).collect()
+    }
+    # brute force: oracle pip over every (point, tile) pair
+    want = set()
+    for t in tiles.collect():
+        ring = [tuple(p) for p in t["ring"]]
+        if ring[0] == ring[-1]:
+            ring = ring[:-1]
+        for pid, lon, lat in pts:
+            if ro.pip(ring, (lon, lat)):
+                want.add((pid, t["tile_id"]))
+    assert got == want
+
+
+def test_tile_points_salted_equals_unsalted(spark, fx):
+    from lazyosm_spark.operators.spatial_join import tile_points
+
+    pdf = spark.createDataFrame(
+        _points(200), "point_id string, lon double, lat double"
+    )
+    base = {
+        (r["point_id"], r["tile_id"])
+        for r in tile_points(pdf, fx["tiles"]).collect()
+    }
+    salted = {
+        (r["point_id"], r["tile_id"])
+        for r in tile_points(pdf, fx["tiles"], salt=8).collect()
+    }
+    assert base == salted
+
+
+def test_grid_knn_equals_bruteforce(spark):
+    from lazyosm_spark.operators.knn import grid_knn, knn_brute
+
+    pts = _points(400)
+    pdf = spark.createDataFrame(pts, "point_id string, lon double, lat double")
+    q = spark.createDataFrame(
+        [(pid, lon, lat) for pid, lon, lat in pts[:25]],
+        "query_id string, lon double, lat double",
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in grid_knn(q, pdf, k=5, res=6).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in knn_brute(q, pdf, k=5).collect()
+    }
+    assert got == want
+
+
+def test_cell_hierarchy_invariants(spark):
+    from lazyosm_spark.functions import cells
+
+    pdf = spark.createDataFrame(_points(500), "point_id string, lon double, lat double")
+    df = pdf.select(
+        cells.cell_encode("lon", "lat", 12).alias("fine"),
+        cells.cell_encode("lon", "lat", 5).alias("coarse"),
+    ).withColumn("parent", cells.cell_parent(F.col("fine"), 5))
+    assert df.filter(F.col("parent") != F.col("coarse")).count() == 0
+
+    # k_ring contains the center and only valid in-grid neighbors
+    kr = pdf.select(
+        "point_id", cells.cell_encode("lon", "lat", 6).alias("c")
+    ).select("point_id", "c", F.explode(cells.k_ring(F.col("c"), 2)).alias("n"))
+    center_present = kr.filter(F.col("c") == F.col("n")).count()
+    assert center_present == 500
+    sizes = (
+        kr.groupBy("point_id").count().agg(F.min("count"), F.max("count")).first()
+    )
+    assert sizes[0] >= 9 and sizes[1] <= 25  # clipped at edges, max (2k+1)^2
+
+
+def test_cell_bounds_roundtrip(spark):
+    from lazyosm_spark.functions import cells
+
+    pdf = spark.createDataFrame(_points(300), "point_id string, lon double, lat double")
+    c = cells.cell_encode("lon", "lat", 9)
+    lo_lon, lo_lat, hi_lon, hi_lat = cells.cell_bounds(c)
+    bad = pdf.select(
+        ((F.col("lon") >= lo_lon) & (F.col("lon") < hi_lon)
+         & (F.col("lat") >= lo_lat) & (F.col("lat") < hi_lat)).alias("ok")
+    ).filter(~F.col("ok"))
+    assert bad.count() == 0
