@@ -31,7 +31,7 @@ def lineitem_points(spark, sf_dir):
 
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     i = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("double")
-    phi, phi2 = 0.61803398875, 0.61803398875**2
+    phi, phi2 = 0.7548776662466927, 0.5698402909980532  # R2 low-discrepancy constants
     return li.select(
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("point_id"),
         (F.lit(-180.0) + 360.0 * (i * phi - F.floor(i * phi))).alias("lon"),
@@ -55,10 +55,12 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     def timed(name: str, fn):
+        print(f"# running {name}...", file=sys.stderr, flush=True)
         t0 = time.time()
         n = fn()
         dt = time.time() - t0
         timings[name] = round(dt, 3)
+        print(f"# {name}: {dt:.1f}s ({n} rows)", file=sys.stderr, flush=True)
         return n, dt
 
     # warm the JVM + parquet footers once
@@ -89,7 +91,7 @@ def main() -> None:
     def knn_run():
         part = spark.read.parquet(os.path.join(SF_DIR, "part.parquet"))
         i = F.col("p_partkey").cast("double")
-        phi, phi2 = 0.61803398875, 0.61803398875**2
+        phi, phi2 = 0.7548776662466927, 0.5698402909980532  # R2 low-discrepancy constants
         q = part.select(
             F.col("p_partkey").alias("query_id"),
             (F.lit(-180.0) + 360.0 * (i * phi - F.floor(i * phi))).alias("lon"),

@@ -49,6 +49,17 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def with_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 3
+) -> DataFrame:
+    """Materialize the shingle array ONCE as a column — computing it
+    inline inside each signature expression re-evaluates the O(n^2)
+    slice pipeline per hash seed (measured 10x slowdown)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), shingles(text_col, ngram).alias("sh")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -59,17 +70,26 @@ def minhash_signatures(
     """-> (doc_id, sig_0..sig_{n-1}): sig_i = min over shingles of
     seeded md5 hash.  Empty shingle set -> NULL signature (doc shorter
     than the n-gram window)."""
-    sh = shingles(text_col, ngram)
+    sh_df = with_shingles(docs, id_col, text_col, ngram)
+    return minhash_signatures_from_shingles(sh_df, n_hashes)
+
+
+def minhash_signatures_from_shingles(
+    sh_df: DataFrame, n_hashes: int = DEFAULT_N_HASHES
+) -> DataFrame:
+    """(doc_id, sh array<string>) -> (doc_id, sig_0..sig_{n-1})."""
 
     def hasher(seed: int):
         # NB: a 2-arg lambda would receive the ARRAY INDEX as its second
         # argument from F.transform — use a closure, not default args
         return lambda s: md5_long(s, seed=seed)
 
-    cols = [F.col(id_col).alias("doc_id")]
+    cols = [F.col("doc_id")]
     for i in range(n_hashes):
-        cols.append(F.array_min(F.transform(sh, hasher(i))).alias(f"sig_{i}"))
-    return docs.select(*cols)
+        cols.append(
+            F.array_min(F.transform(F.col("sh"), hasher(i))).alias(f"sig_{i}")
+        )
+    return sh_df.select(*cols)
 
 
 def minhash_lsh_pairs(
@@ -88,7 +108,8 @@ def minhash_lsh_pairs(
     path (no cross join anywhere).
     """
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, ngram)
+    sh_df = with_shingles(docs, id_col, text_col, ngram).persist()
+    sigs = minhash_signatures_from_shingles(sh_df, n_hashes)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -110,12 +131,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), shingles(text_col, ngram).alias("sh")
-    )
     verified = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("sh", "sh_a"), "doc_id_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("sh", "sh_b"), "doc_id_b")
+        cand.join(sh_df.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("sh", "sh_a"), "doc_id_a")
+        .join(sh_df.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("sh", "sh_b"), "doc_id_b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))

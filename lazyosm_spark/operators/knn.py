@@ -68,10 +68,15 @@ def grid_knn(
     )
     cell_h = 180.0 / (1 << res)  # lat extent of a cell (the tighter bound)
 
-    pending = q
+    # Each round materializes (persist) so the driver-side loop never
+    # recomputes prior rounds' joins — without this, round N's anti-join
+    # re-executes every upstream shuffle once per downstream action.
+    pending = q.persist()
     done_parts: list[DataFrame] = []
     ring = start_ring
-    for rnd in range(max_rounds):
+    for _ in range(max_rounds):
+        if pending.limit(1).count() == 0:
+            break
         cand = (
             pending.select(
                 "query_id", "qlon", "qlat", F.explode(k_ring("qcell", ring)).alias("pcell")
@@ -80,35 +85,37 @@ def grid_knn(
             .select(
                 "query_id",
                 "neighbor_id",
-                _dist2(F.col("qlon"), F.col("qlat"), F.col("plon"), F.col("plat")).alias(
-                    "d2"
-                ),
+                F.sqrt(
+                    _dist2(F.col("qlon"), F.col("qlat"), F.col("plon"), F.col("plat"))
+                ).alias("dist"),
             )
-            .withColumn("dist", F.sqrt("d2"))
         )
-        topk = _topk(cand, k)
-        # guarantee: k-th distance within the ring's safe radius
+        topk = _topk(cand, k).persist()
+        # guarantee: k-th distance within the ring's safe radius (points
+        # outside Chebyshev ring R are at least R*cell_h away)
         guarantee = float(ring * cell_h)
-        per_q = topk.groupBy("query_id").agg(
-            F.count("*").alias("n"), F.max("dist").alias("kth")
+        ok_ids = (
+            topk.groupBy("query_id")
+            .agg(F.count("*").alias("n"), F.max("dist").alias("kth"))
+            .filter((F.col("n") == k) & (F.col("kth") <= F.lit(guarantee)))
+            .select("query_id")
+            .persist()
         )
-        ok_ids = per_q.filter(
-            (F.col("n") == k) & (F.col("kth") <= F.lit(guarantee))
-        ).select("query_id")
         done_parts.append(topk.join(ok_ids, "query_id", "left_semi"))
-        pending = pending.join(ok_ids, "query_id", "left_anti")
+        nxt = pending.join(ok_ids, "query_id", "left_anti").persist()
+        nxt.count()  # materialize before unpersisting the parent
+        pending.unpersist()
+        pending = nxt
         ring *= 2
 
-    # brute-force the stragglers (few, by construction)
-    brute = (
-        pending.crossJoin(p)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.sqrt(
-                _dist2(F.col("qlon"), F.col("qlat"), F.col("plon"), F.col("plat"))
-            ).alias("dist"),
-        )
+    # brute-force only the stragglers (few, by construction; the ring
+    # rounds have already satisfied every query with a provable bound)
+    brute = pending.crossJoin(p).select(
+        "query_id",
+        "neighbor_id",
+        F.sqrt(
+            _dist2(F.col("qlon"), F.col("qlat"), F.col("plon"), F.col("plat"))
+        ).alias("dist"),
     )
     done_parts.append(_topk(brute, k))
     out = done_parts[0]

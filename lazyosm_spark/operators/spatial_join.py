@@ -83,6 +83,10 @@ def tile_points(
 
     Ring vertex-on-boundary semantics are the reference Pip's (bottom/
     left inclusive, top/right exclusive) — golden fixtures pin them.
+
+    ``tile_id`` must be unique (it is the tile table's key and the
+    refine group key); duplicate ids would silently drop all but the
+    first ring of a group.
     """
     res_rows = tiles.select("resolution").distinct().collect()
     res_list = sorted(int(r[0]) for r in res_rows)

@@ -61,8 +61,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # spatial operators get real oracle checks on driver testdata.
 # --------------------------------------------------------------------------
 
-PHI = 0.61803398875
-PHI2 = PHI * PHI
+# R2 low-discrepancy constants (1/x, 1/x^2 of the plastic number):
+# 2-D equidistributed, unlike (phi, phi^2) whose phi^2 = 1 - phi puts
+# every point on one diagonal line (a 1-D lattice)
+PHI = 0.7548776662466927
+PHI2 = 0.5698402909980532
 
 
 def _doc_points(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,7 +25,11 @@ import pandas as pd
 from lazyosm_spark.sources.images import average_phash, encode_image, reference_pixels
 
 SEED = 42
-PHI = 0.61803398875
+# R2 low-discrepancy constants (1/x, 1/x^2 of the plastic number):
+# genuinely 2-D equidistributed — (phi, phi^2) of the golden ratio is
+# NOT (phi^2 = 1 - phi makes lat a mirror of lon: all points on a line)
+PHI = 0.7548776662466927
+PHI2 = 0.5698402909980532
 GRAN_DEG = 1e-7  # granularity 100 nanodeg
 
 SCALES = {
@@ -53,12 +57,12 @@ def image_lonlat(i: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     low-discrepancy sequence.  SQL twin: image_lonlat_sql."""
     i = np.asarray(i, dtype=np.float64)
     lon = -180.0 + 360.0 * _frac(i * PHI)
-    lat = -85.0 + 170.0 * _frac(i * PHI * PHI)
+    lat = -85.0 + 170.0 * _frac(i * PHI2)
     return lon, lat
 
 
 def image_lonlat_sql(i_expr: str) -> tuple[str, str]:
-    p, p2 = repr(PHI), repr(PHI * PHI)
+    p, p2 = repr(PHI), repr(PHI2)
     lon = f"(-180.0 + 360.0 * (({i_expr}) * {p} - floor(({i_expr}) * {p})))"
     lat = f"(-85.0 + 170.0 * (({i_expr}) * {p2} - floor(({i_expr}) * {p2})))"
     return lon, lat
@@ -145,7 +149,7 @@ def build_world(scale: str = "small") -> dict[str, pd.DataFrame]:
     # --- relations: multipolygons with holes, split/scrambled rings ---
     for r in range(cfg["n_rel"]):
         cx = int((-160 + 320 * _frac((r + 1) * PHI)) / GRAN_DEG)
-        cy = int((-70 + 140 * _frac((r + 1) * PHI * PHI)) / GRAN_DEG)
+        cy = int((-70 + 140 * _frac((r + 1) * PHI2)) / GRAN_DEG)
         half = int((0.05 + 0.3 * rng.random()) / GRAN_DEG)
         n_outer_ways = int(rng.integers(2, 7))
         memids, roles = [], []
@@ -177,7 +181,7 @@ def build_world(scale: str = "small") -> dict[str, pd.DataFrame]:
     # --- standalone ways: open lines + closed rings (some area=no) ---
     for wix in range(cfg["n_ways"]):
         cx = int((-170 + 340 * _frac((wix + 3) * PHI)) / GRAN_DEG)
-        cy = int((-80 + 160 * _frac((wix + 3) * PHI * PHI)) / GRAN_DEG)
+        cy = int((-80 + 160 * _frac((wix + 3) * PHI2)) / GRAN_DEG)
         npts = int(rng.integers(3, 9))
         step = int(0.001 / GRAN_DEG)
         pts = [
@@ -356,11 +360,15 @@ def gen_tiles(n_per_res: int = 24) -> pd.DataFrame:
     a couple of coarse 'city' tiles create skew."""
     rng = np.random.default_rng(SEED + 1)
     rows = []
+    seen: set[int] = set()  # tile_id is a key — no duplicate cells
     for res in range(3, 9):
         nx = 1 << res
         for t in range(n_per_res):
             x = int(rng.integers(0, nx))
             y = int(rng.integers(int(nx * 0.05), int(nx * 0.95)))  # avoid poles
+            if ((res << 58) | (x << 29) | y) in seen:
+                continue
+            seen.add((res << 58) | (x << 29) | y)
             lon0 = x / nx * 360.0 - 180.0
             lat0 = y / nx * 180.0 - 90.0
             dlon, dlat = 360.0 / nx, 180.0 / nx

@@ -1,0 +1,85 @@
+"""Structured Streaming surface: incremental tiling + windowed rollups.
+
+The reference is batch-only (SURVEY.md §2.10) — its closest analogs are
+incremental file reading and streaming feature writes.  The engine
+exposes two streaming operators:
+
+- stream_tile_points: micro-batch spatial join via foreachBatch — each
+  arriving batch of image points is tiled with the SAME batch operator
+  (operators/spatial_join.tile_points), so batch and streaming results
+  are identical by construction.  Checkpointing gives exactly-once
+  sink appends.
+- windowed_event_counts: watermarked sliding-window aggregation (the
+  canonical late-data-tolerant rollup, e.g. per-tile ingest rates).
+
+Both are driven in tests with trigger(availableNow=True) over parquet
+directories — the same code points at Kafka/files in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_tile_points(
+    spark: SparkSession,
+    input_dir: str,
+    input_schema: str,
+    tiles: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    salt: int | None = None,
+) -> StreamingQuery:
+    """Tail a directory of point parquet files; tile each micro-batch;
+    append membership to output_dir.  Resume/exactly-once comes from
+    the streaming checkpoint."""
+    from lazyosm_spark.operators.spatial_join import tile_points
+
+    stream = (
+        spark.readStream.schema(input_schema).parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        membership = tile_points(batch_df, tiles, salt=salt)
+        membership.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            output_dir
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked (sliding) window counts — works on both a streaming
+    and a batch DataFrame (batch ignores the watermark), so the oracle
+    comparison runs the same expression in batch mode."""
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(win.alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            key_col,
+            "n",
+            "total",
+        )
+    )

@@ -9,7 +9,7 @@ from tests.oracle import reference_oracle as ro
 
 
 def _points(n=200):
-    phi, phi2 = 0.61803398875, 0.61803398875**2
+    phi, phi2 = 0.7548776662466927, 0.5698402909980532
     i = np.arange(n, dtype=float)
     lon = -180.0 + 360.0 * ((i * phi) % 1.0)
     lat = -85.0 + 170.0 * ((i * phi2) % 1.0)
