@@ -1,21 +1,27 @@
-"""Flagship end-to-end job: tile + spatially join an image table.
+"""Flagship end-to-end job: decode + tile + spatially join an image table.
 
 spark-submit entry (runs unchanged on a cluster; local[] for sandbox):
 
+    # one-time input build (distributed synthesis of the image table):
+    spark-submit jobs/tile_images.py --generate --images /path/images \
+        --n-images 200000
+    # the measured pipeline:
     spark-submit --py-files lazyosm_spark.zip jobs/tile_images.py \
-        --images /path/images.parquet --output /path/out \
-        [--cpus 32] [--salt 8] [--n-images 200000] [--resume]
+        --images /path/images --output /path/out [--cpus 32] [--resume]
 
-Pipeline (each stage checkpointed with per-partition lineage so a kill
-mid-run resumes without duplicate work):
+Measured pipeline (each stage checkpointed with per-partition lineage
+so a kill mid-run resumes without duplicate work):
 
   1. scan images (image_id, bytes, w, h, fmt, caption, phash)
-  2. derive/attach footprint points (deterministic from image_id here;
-     production would decode EXIF/geo metadata the same way)
-  3. cell-encode at the tile pyramid's resolutions (pure JVM)
-  4. spatial join: coarse cell equi-join + vectorized PIP refine,
-     salted for dense tiles
-  5. per-tile rollup (counts + distinct phash sketch)
+  2. DECODE: mapInPandas — decode payload (inverse DCT for lossy),
+     recompute phash from pixels, PSNR vs source (the >=40dB gate),
+     mean-luminance feature.  The CPU-heavy multimodal leg.
+  3. derive footprint points (deterministic from image_id; production
+     reads EXIF/geo metadata the same way)
+  4. spatial join: cell encode (JVM) + broadcast tile keys + vectorized
+     PIP refine — shuffle-free on the image side
+  5. per-tile rollup (counts + distinct phash sketch) joined with the
+     decode features
 
 Prints one JSON line with wall time + throughput — consumed by
 BENCH/run_scaling.py for the N-vs-4N parallelism evidence.
@@ -32,41 +38,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_points(spark, images_path: str | None, n_images: int | None):
-    """Image table -> (point_id, lon, lat).  When no table is given,
-    synthesize the fixture image set at the requested size."""
-    from pyspark.sql import functions as F
-
-    if images_path:
-        images = spark.read.parquet(images_path)
-        n = images.count()
-    else:
-        # deterministic synthetic footprint points at arbitrary scale —
-        # same golden-ratio scheme as the images fixture, no payload
-        # bytes needed for the tiling path (column pruning would drop
-        # them from a real scan anyway)
-        n = n_images or 200_000
-        images = spark.range(n).select(
-            F.format_string("img_%012d", F.col("id")).alias("image_id")
-        )
-    i = F.regexp_extract("image_id", r"(\d+)", 1).cast("long").cast("double")
-    phi, phi2 = 0.7548776662466927, 0.5698402909980532  # R2 low-discrepancy constants
-    pts = images.select(
-        F.col("image_id").alias("point_id"),
-        (F.lit(-180.0) + 360.0 * (i * phi - F.floor(i * phi))).alias("lon"),
-        (F.lit(-85.0) + 170.0 * (i * phi2 - F.floor(i * phi2))).alias("lat"),
-    )
-    return pts, n
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--images", default=None, help="parquet path of the image table")
+    ap.add_argument("--images", required=True, help="parquet path of the image table")
+    ap.add_argument("--generate", action="store_true", help="build the input table, then exit")
     ap.add_argument("--n-images", type=int, default=200_000)
-    ap.add_argument("--output", required=True)
+    ap.add_argument("--img-size-mult", type=int, default=1)
+    ap.add_argument("--output", default=None)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    ap.add_argument("--salt", type=int, default=8)
-    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--partitions", type=int, default=None)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -75,6 +55,12 @@ def main() -> None:
     from lazyosm_spark.operators.spatial_join import tile_points
     from lazyosm_spark.plans.lineage import CheckpointedPipeline
     from lazyosm_spark.sources.fixtures import gen_tiles
+    from lazyosm_spark.sources.images import (
+        DECODE_SCHEMA,
+        IMAGE_SCHEMA,
+        decode_images_batches,
+        gen_images_batches_fn,
+    )
 
     spark = get_spark(
         app=f"tile_images_c{args.cpus}",
@@ -82,25 +68,60 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
+    if args.generate:
+        nparts = args.partitions or args.cpus * 4
+        (
+            spark.range(args.n_images)
+            .repartition(nparts)
+            .mapInPandas(gen_images_batches_fn(args.img_size_mult), IMAGE_SCHEMA)
+            .write.mode("overwrite")
+            .parquet(args.images)
+        )
+        print(json.dumps({"job": "generate", "n_images": args.n_images, "path": args.images}))
+        return
+
+    assert args.output, "--output required for the pipeline run"
+    # warm python workers so measured time is steady-state compute
+    spark.range(args.cpus * 8).repartition(args.cpus * 2).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
+
     t0 = time.time()
-    pts, n_images = build_points(spark, args.images, args.n_images)
-    tiles = spark.createDataFrame(gen_tiles())
+    images = spark.read.parquet(args.images)
 
-    membership = tile_points(pts, tiles, salt=args.salt)
-
+    # stage 2: decode (CPU-heavy) — recomputed phash must match stored
+    decoded = images.mapInPandas(decode_images_batches, DECODE_SCHEMA)
     pipe = CheckpointedPipeline(spark, args.output, n_buckets=64)
-    out = pipe.run_stage("tile_membership", membership, key_col="point_id")
+    feats = pipe.run_stage("decode_features", decoded, key_col="image_id")
 
+    # stage 3+4: footprint points -> spatial join (shuffle-free)
+    i = F.regexp_extract("image_id", r"(\d+)", 1).cast("long").cast("double")
+    phi, phi2 = 0.7548776662466927, 0.5698402909980532  # R2 constants
+    pts = images.select(
+        F.col("image_id").alias("point_id"),
+        (F.lit(-180.0) + 360.0 * (i * phi - F.floor(i * phi))).alias("lon"),
+        (F.lit(-85.0) + 170.0 * (i * phi2 - F.floor(i * phi2))).alias("lat"),
+    )
+    tiles = spark.createDataFrame(gen_tiles())
+    membership = tile_points(pts, tiles)
+    mem = pipe.run_stage("tile_membership", membership, key_col="point_id")
+
+    # stage 5: per-tile rollup with decode features
     rollup = (
-        out.groupBy("tile_id", "resolution")
+        mem.join(feats.withColumnRenamed("image_id", "point_id"), "point_id")
+        .groupBy("tile_id", "resolution")
         .agg(
             F.count("*").alias("n_images"),
-            F.approx_count_distinct("point_id").alias("n_distinct"),
+            F.approx_count_distinct("phash").alias("n_distinct_phash"),
+            F.avg("mean_lum").alias("avg_lum"),
+            F.min("psnr").alias("min_psnr"),
         )
     )
     pipe.run_stage("tile_rollup", rollup, key_col="tile_id")
 
-    n_mem = out.count()
+    n_images = images.count()
+    n_mem = mem.count()
+    n_bad = feats.filter(F.col("psnr") < 40.0).count()  # reads checkpoint
     dt = time.time() - t0
     print(
         json.dumps(
@@ -109,6 +130,7 @@ def main() -> None:
                 "cpus": args.cpus,
                 "n_images": n_images,
                 "n_memberships": n_mem,
+                "n_psnr_failures": n_bad,
                 "seconds": round(dt, 2),
                 "images_per_sec": round(n_images / dt, 1),
             }

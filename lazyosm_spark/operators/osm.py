@@ -243,3 +243,38 @@ def all_features(
     way = way_features(ways, nodes)
     node = node_features(nodes)
     return rel.unionByName(way).unionByName(node)
+
+
+# ------------------------------------------------------------- sinks ----
+
+
+def features_to_geojson(features: DataFrame) -> DataFrame:
+    """Feature rows -> GeoJSON Feature strings (S7, the geobuf-writer
+    analog: process.go:77-79, relation_handler.go:476-487).  The
+    uniform 4-deep coords nesting is unwrapped per geometry type; all
+    string assembly is JVM-side (to_json + concat), no Python.
+
+    -> (osm_id, geojson string); write with .write.text / .json.
+    """
+    c = F.col("coords")
+    coords_json = (
+        F.when(F.col("geom_type") == "Point", F.to_json(c[0][0][0]))
+        .when(F.col("geom_type") == "LineString", F.to_json(c[0][0]))
+        .when(F.col("geom_type") == "Polygon", F.to_json(c[0]))
+        .otherwise(F.to_json(c))
+    )
+    props = F.when(
+        F.col("properties").isNull(), F.lit("{}")
+    ).otherwise(F.to_json(F.col("properties")))
+    feature = F.concat(
+        F.lit('{"type":"Feature","geometry":{"type":"'),
+        F.col("geom_type"),
+        F.lit('","coordinates":'),
+        coords_json,
+        F.lit('},"properties":'),
+        props,
+        F.lit(',"id":'),
+        F.col("osm_id").cast("string"),
+        F.lit("}"),
+    )
+    return features.select(F.col("osm_id"), feature.alias("geojson"))

@@ -71,22 +71,89 @@ def tile_points(
     """points(point_id, lon, lat) × tiles(tile_id, resolution, ring)
     -> exact membership (point_id, tile_id, resolution).
 
-    Coarse cell equi-join (tile_id packs its resolution, so one
-    long=long join covers the mixed-resolution pyramid), then a grouped
-    PIP refine per (tile[, salt-bucket]).  The join also prunes tiles
-    with no candidates before any Python runs.
+    SHUFFLE-FREE plan (the 100 TB path — the point side is never
+    shuffled): cell-encode each point at the pyramid's resolutions
+    (pure JVM), BROADCAST-join candidates against the tile keys
+    (tile_id packs its resolution, so one long=long join covers a
+    mixed-resolution pyramid), then refine with a vectorized pandas
+    UDF that looks rings up in a broadcast dict and ray-casts each
+    tile's batch slice in one numpy call.  Every stage is map-side;
+    AQE/salting is unnecessary because no shuffle exists to skew.
 
-    Note: a cogrouped refine (ring shipped once per group instead of
-    per candidate row) segfaults pyarrow 16.1's cogroup serializer on
-    multi-row batches — join+groupBy is the stable formulation; rings
-    are small (<= a few dozen vertices) so the duplication is cheap.
+    Use tile_points_shuffle for tile sets too large to broadcast
+    (>~1M tiles).  ``tile_id`` must be unique (it is the key).
 
     Ring vertex-on-boundary semantics are the reference Pip's (bottom/
     left inclusive, top/right exclusive) — golden fixtures pin them.
+    """
+    import numpy as np  # local for the closure
 
-    ``tile_id`` must be unique (it is the tile table's key and the
-    refine group key); duplicate ids would silently drop all but the
-    first ring of a group.
+    tile_rows = tiles.select("tile_id", "resolution", "ring").collect()
+    res_list = sorted({int(r["resolution"]) for r in tile_rows})
+    rings = {}
+    for r in tile_rows:
+        ring = np.asarray([list(p) for p in r["ring"]], dtype=np.float64)
+        if len(ring) > 1 and (ring[0] == ring[-1]).all():
+            ring = ring[:-1]
+        rings[int(r["tile_id"])] = ring
+    sc = points.sparkSession.sparkContext
+    b_rings = sc.broadcast(rings)
+
+    @F.pandas_udf("boolean")
+    def inside_tile(tile_id: pd.Series, lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
+        ring_map = b_rings.value
+        out = np.zeros(len(tile_id), dtype=bool)
+        lon_v = lon_s.to_numpy(np.float64)
+        lat_v = lat_s.to_numpy(np.float64)
+        tid = tile_id.to_numpy(np.int64)
+        # one vectorized ray-cast per distinct tile in the batch
+        order = np.argsort(tid, kind="stable")
+        sorted_tid = tid[order]
+        bounds = np.flatnonzero(np.diff(sorted_tid)) + 1
+        for seg in np.split(order, bounds):
+            ring = ring_map.get(int(tid[seg[0]]))
+            if ring is None or len(seg) == 0:
+                continue
+            xy = np.column_stack([lon_v[seg], lat_v[seg]])
+            out[seg] = pip_mask(ring, xy)
+        return pd.Series(out)
+
+    pts = points.select(
+        F.col(point_id).cast("string").alias("point_id"),
+        F.col(lon).alias("lon"),
+        F.col(lat).alias("lat"),
+    )
+    cells = pts.select(
+        "point_id",
+        "lon",
+        "lat",
+        F.explode(
+            F.array(*[cell_encode(F.col("lon"), F.col("lat"), r) for r in res_list])
+        ).alias("cell"),
+    )
+    keys = tiles.select(F.col("tile_id").alias("cell"), "tile_id", "resolution")
+    cand = cells.join(F.broadcast(keys), "cell")
+    return cand.filter(inside_tile(F.col("tile_id"), F.col("lon"), F.col("lat"))).select(
+        "point_id", "tile_id", "resolution"
+    )
+
+
+def tile_points_shuffle(
+    points: DataFrame,
+    tiles: DataFrame,
+    point_id: str = "point_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    salt: int | None = None,
+) -> DataFrame:
+    """Shuffle-based variant for tile sets too large to broadcast:
+    coarse cell equi-join carrying the ring, then a grouped PIP refine
+    per (tile[, salt-bucket]).  Salting splits hot tiles across tasks
+    (the dense-city skew case).
+
+    Note: a cogrouped refine (ring shipped once per group) segfaults
+    pyarrow 16.1's cogroup serializer on multi-row batches —
+    join+groupBy is the stable formulation.
     """
     res_rows = tiles.select("resolution").distinct().collect()
     res_list = sorted(int(r[0]) for r in res_rows)

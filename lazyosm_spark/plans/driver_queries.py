@@ -928,3 +928,202 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = dict(QUERIES)
     out.update(FIXTURE_QUERIES)
     return out
+
+
+# ======================================================================
+# Additional operator coverage: as-of join, percentiles, string/date
+# functions, tumbling windows (streaming twin), set ops
+# ======================================================================
+
+
+@_register(
+    "asof_join",
+    """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         max(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+  FROM events)
+SELECT event_id, CAST(date_diff('second', last_view_ts, ts) AS BIGINT) AS secs_since_view
+FROM tagged WHERE event_type = 'click'
+""",
+)
+def q_asof(spark, sf_dir):
+    """As-of join (Spark lacks a native one): for each click, the most
+    recent prior view of the same user — expressed as a running max
+    window over the unioned stream (the scalable formulation; per-group
+    merge_asof in pandas is the applyInPandas fallback)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.withColumn(
+        "last_view_ts",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    return tagged.filter(F.col("event_type") == "click").select(
+        "event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("last_view_ts"))
+        .cast("long")
+        .alias("secs_since_view"),
+    )
+
+
+@_register(
+    "percentiles",
+    """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`, both linear interpolation).  approx_percentile is
+    the at-scale variant (not oracle-comparable by construction)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@_register(
+    "string_funcs",
+    """
+SELECT p_partkey,
+       upper(substr(p_name, 1, 8))                       AS name8,
+       length(p_name)                                    AS name_len,
+       replace(p_type, ' ', '_')                         AS type_u,
+       CAST(len(string_split(p_name, ' ')) AS BIGINT)    AS n_words,
+       contains(p_type, 'BRASS')                         AS is_brass
+FROM part
+""",
+)
+def q_string_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name8"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_replace("p_type", " ", "_").alias("type_u"),
+        F.size(F.split("p_name", " ", -1)).cast("long").alias("n_words"),
+        F.col("p_type").contains("BRASS").alias("is_brass"),
+    )
+
+
+@_register(
+    "date_parts",
+    """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+       CAST(month(o_orderdate) AS BIGINT) AS m,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(o_totalprice * 100)) AS BIGINT) AS cents
+FROM orders GROUP BY 1, 2
+""",
+)
+def q_date_parts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum(F.col("o_totalprice") * 100)).cast("long").alias("cents"),
+    )
+
+
+@_register(
+    "tumbling_window_agg",
+    """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY 1, 2
+""",
+)
+def q_tumbling(spark, sf_dir):
+    """Batch twin of the streaming tumbling-window rollup
+    (streaming/pipeline.windowed_event_counts) — bucket arithmetic is
+    identical, so the streaming path is oracle-checked transitively."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket"),
+        "event_type",
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).cast("long").alias("cents"),
+    )
+
+
+@_register(
+    "set_ops",
+    """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+""",
+)
+def q_set_ops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select(F.col("c_custkey"))
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.intersect(o)
+
+
+@_register(
+    "ntile_buckets",
+    """
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key
+FROM (SELECT o_orderkey,
+             CAST(ntile(7) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS bucket
+      FROM orders)
+GROUP BY bucket
+""",
+)
+def q_ntile(spark, sf_dir):
+    """W2 analog (position -> bucket index, process.go:453-456)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("bucket", F.ntile(7).over(w).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+        )
+    )
+
+
+@_register(
+    "lead_lag_delta",
+    """
+SELECT event_id,
+       CAST(event_id - lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS id_delta,
+       CAST(date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS BIGINT) AS ts_delta
+FROM events
+""",
+)
+def q_lead_lag(spark, sf_dir):
+    """Delta ENCODE (the inverse of W1): id/ts deltas via lag — the
+    write-side of the reference's delta coding."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        (F.col("event_id") - F.lag("event_id").over(w)).cast("long").alias("id_delta"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+        .cast("long")
+        .alias("ts_delta"),
+    )

@@ -99,9 +99,12 @@ class CheckpointedPipeline:
         pending = bucketed.join(done, "bucket", "left_anti")
 
         if pending.limit(1).count() > 0:
-            pending.write.mode("append").partitionBy("bucket").parquet(
-                self._data_path(stage)
-            )
+            # co-locate each bucket into one task BEFORE the partitioned
+            # write — otherwise every task writes a sliver of every
+            # bucket (tasks x buckets tiny files; measured 10x slowdown)
+            pending.repartition(F.col("bucket")).write.mode("append").partitionBy(
+                "bucket"
+            ).parquet(self._data_path(stage))
             lineage = (
                 pending.groupBy("bucket")
                 .agg(

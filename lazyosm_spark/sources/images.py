@@ -176,3 +176,81 @@ def reference_pixels(i: int, w: int, h: int) -> np.ndarray:
     for c in range(3):
         img[:, :, c] = np.clip(base + wave * (0.5 + 0.25 * c), 0, 255).astype(np.uint8)
     return img
+
+
+# ---------------------------------------------------------------------------
+# Distributed image synthesis + decode stages (cluster-scale fixtures:
+# the driver-side generator in sources/fixtures.py is for small suites;
+# this one makes N images as a Spark job so the bench can build
+# multi-GB inputs in parallel).
+# ---------------------------------------------------------------------------
+
+IMAGE_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+DECODE_SCHEMA = "image_id string, phash long, psnr double, mean_lum double"
+
+
+def gen_images_batches_fn(size_mult: int = 1):
+    """mapInPandas generator factory: (id long) -> full image rows via
+    ``spark.range(n).mapInPandas(gen_images_batches_fn(m), IMAGE_SCHEMA)``.
+    ``size_mult`` scales pixel dimensions (bench knob: larger images ->
+    more codec work per row)."""
+    fmts = ["raw", "ppm", "lossy"]
+    wl = [16 * size_mult, 32 * size_mult, 64 * size_mult]
+    hl = [16 * size_mult, 32 * size_mult, 48 * size_mult]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # deferred import: fixtures imports this module (circular at
+        # module-load time, safe at executor call time)
+        from lazyosm_spark.sources.fixtures import image_lonlat, make_caption
+
+        for pdf in batches:
+            rows = []
+            ids = pdf.iloc[:, 0].to_numpy()
+            lon, lat = image_lonlat(ids)
+            for j, i in enumerate(ids):
+                i = int(i)
+                w, h = wl[i % 3], hl[i % 3]
+                px = reference_pixels(i, w, h)
+                rows.append(
+                    (
+                        f"img_{i:012d}",
+                        encode_image(px, fmts[i % 3]),
+                        w,
+                        h,
+                        fmts[i % 3],
+                        make_caption(i, float(lon[j]), float(lat[j])),
+                        average_phash(px),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+            )
+
+    return fn
+
+
+gen_images_batches = gen_images_batches_fn(1)
+
+
+def decode_images_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas decode stage: verify the payload decodes, recompute
+    phash from decoded pixels, compute PSNR vs the procedural source
+    and a cheap feature (mean luminance).  This is the CPU-heavy leg of
+    the image pipeline (DCT inverse per block) — the part a real
+    multimodal pipeline spends its time in."""
+    for pdf in batches:
+        rows = []
+        for r in pdf.itertuples(index=False):
+            px = decode_image(r.bytes, r.fmt, r.w, r.h)
+            i = int(r.image_id.split("_")[1])
+            ref = reference_pixels(i, r.w, r.h)
+            lum = float(
+                (px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])).mean()
+            )
+            rows.append((r.image_id, average_phash(px), psnr(ref, px), lum))
+        yield pd.DataFrame(rows, columns=["image_id", "phash", "psnr", "mean_lum"])
