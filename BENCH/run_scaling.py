@@ -65,8 +65,7 @@ def main() -> None:
 
 The north rule's two-cluster-size criterion, evidenced in-sandbox by
 running the identical flagship pipeline (`jobs/tile_images.py`: scan
-{n_images:,} stored images -> mapInPandas DECODE (inverse-DCT + phash +
-PSNR gate) -> footprint points -> shuffle-free spatial join against the
+{n_images:,} stored images -> mapInPandas DECODE (inverse-DCT + phash integrity gate) -> footprint points -> shuffle-free spatial join against the
 tile pyramid -> per-tile rollup, all checkpointed with per-bucket
 lineage) at two parallelism levels in separate JVMs over the SAME
 pre-built input table.
@@ -79,7 +78,7 @@ pre-built input table.
 - speedup 8->32 cores: **{speedup:.2f}x**
 - scaling efficiency (speedup / 4): **{eff:.2f}** (target >= 0.8)
 - memberships identical across runs: {lo["n_memberships"] == hi["n_memberships"]} ({hi["n_memberships"]:,} rows)
-- PSNR >= 40 dB failures: {hi["n_psnr_failures"]} (gate green)
+- per-row phash integrity failures: {hi["n_integrity_failures"]} (gate green)
 
 Method notes:
 - The decode stage is the dominant, embarrassingly-parallel cost — the

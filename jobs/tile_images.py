@@ -114,14 +114,14 @@ def main() -> None:
             F.count("*").alias("n_images"),
             F.approx_count_distinct("phash").alias("n_distinct_phash"),
             F.avg("mean_lum").alias("avg_lum"),
-            F.min("psnr").alias("min_psnr"),
+            F.sum(F.when(~F.col("phash_ok"), 1).otherwise(0)).alias("n_phash_bad"),
         )
     )
     pipe.run_stage("tile_rollup", rollup, key_col="tile_id")
 
     n_images = images.count()
     n_mem = mem.count()
-    n_bad = feats.filter(F.col("psnr") < 40.0).count()  # reads checkpoint
+    n_bad = feats.filter(~F.col("phash_ok")).count()  # reads checkpoint
     dt = time.time() - t0
     print(
         json.dumps(
@@ -130,7 +130,7 @@ def main() -> None:
                 "cpus": args.cpus,
                 "n_images": n_images,
                 "n_memberships": n_mem,
-                "n_psnr_failures": n_bad,
+                "n_integrity_failures": n_bad,
                 "seconds": round(dt, 2),
                 "images_per_sec": round(n_images / dt, 1),
             }

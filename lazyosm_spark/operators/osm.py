@@ -278,3 +278,20 @@ def features_to_geojson(features: DataFrame) -> DataFrame:
         F.lit("}"),
     )
     return features.select(F.col("osm_id"), feature.alias("geojson"))
+
+
+def block_multipoints(nodes: DataFrame) -> DataFrame:
+    """Per-block MultiPoint debug feature (G7, process.go:459-500):
+    the block's point cloud as one feature, with the block's bbox
+    (A2 min/max aggregation, densenode.go:128-163)."""
+    return nodes.groupBy("block_id").agg(
+        F.count("*").alias("n_points"),
+        F.min("lon").alias("w"),
+        F.min("lat").alias("s"),
+        F.max("lon").alias("e"),
+        F.max("lat").alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("id", "lon", "lat"))),
+            lambda p: F.array(p["lon"], p["lat"]),
+        ).alias("points"),
+    )

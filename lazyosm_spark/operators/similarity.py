@@ -14,10 +14,10 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-from lazyosm_spark.functions.hashing import md5_long
 
 
 def _dot(a, b):
@@ -195,4 +195,125 @@ def embedding_near_dup_pairs(
     return (
         cand.select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
+    )
+
+
+def cosine_near_dup_exact(
+    items: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = 20_000,
+) -> DataFrame:
+    """EXACT all-pairs cosine near-dup (id_a < id_b, cos >= threshold) —
+    the small-scale oracle for the LSH/IVF paths.  Guarded against
+    accidental planet-scale cross joins."""
+    n = items.count()
+    if n > max_rows:
+        raise ValueError(f"exact near-dup is the small-scale oracle (n={n})")
+    v = items.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- IVF ----
+
+
+def ivf_index(
+    items: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Build a one-shot IVF index: centroids = deterministic seeded
+    sample of the vectors themselves (ids hashed; no RNG so executors
+    and re-runs agree), assignment = argmax cosine, computed in one
+    vectorized pandas batch matmul.
+
+    Returns (assigned DataFrame with 'centroid' column, centroids
+    ndarray broadcastable to queries).  One Lloyd refinement step is a
+    groupBy('centroid').avg over the array — omitted by default; the
+    seeded-sample index already gives the partition-pruning behavior
+    the scale path needs."""
+    import numpy as np
+
+    cents = (
+        items.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(9973)))
+        .limit(n_centroids)
+        .collect()
+    )
+    cmat = np.asarray([list(r[vec_col]) for r in cents], dtype=np.float64)
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    sc = items.sparkSession.sparkContext
+    b_c = sc.broadcast(cmat)
+
+    @F.pandas_udf("int")
+    def assign(vec: pd.Series) -> pd.Series:
+        c = b_c.value
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
+
+    assigned = items.withColumn("centroid", assign(F.col(vec_col)))
+    return assigned, cmat
+
+
+def ivf_ann_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: items partition by nearest centroid;
+    each query probes its nprobe nearest centroids' partitions only —
+    an equi-join on centroid id (partition pruning at scale), exact
+    cosine re-rank inside.  Recall measured vs cosine_topk in tests."""
+    import numpy as np
+
+    assigned, cmat = ivf_index(items, n_centroids, id_col, vec_col)
+    sc = items.sparkSession.sparkContext
+    b_c = sc.broadcast(cmat)
+
+    @F.pandas_udf("array<int>")
+    def probes(vec: pd.Series) -> pd.Series:
+        c = b_c.value
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        top = np.argsort(-(m @ c.T), axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+        F.explode(probes(F.col(vec_col))).alias("centroid"),
+    )
+    it = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("nv"),
+        "centroid",
+    )
+    cand = q.join(it, "centroid").filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cos"))
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

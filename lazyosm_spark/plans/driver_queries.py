@@ -1127,3 +1127,79 @@ def q_lead_lag(spark, sf_dir):
         .cast("long")
         .alias("ts_delta"),
     )
+
+
+@_register(
+    "cosine_near_dup",
+    """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS cos
+FROM v a, v b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+""",
+)
+def q_cosine_near_dup(spark, sf_dir):
+    """Exact embedding near-dup pairs (the dedup suite's embedding leg;
+    the LSH/IVF approximate paths are recall-tested against this)."""
+    out = similarity.cosine_near_dup_exact(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+    return out.select("id_a", "id_b", F.round("cos", 9).alias("cos"))
+
+
+@_register_fixture("fx_ivf_ann_topk")
+def q_fx_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    ).orderBy("query_id", "rank")
+
+
+@_register_fixture("fx_embedding_near_dup_lsh")
+def q_fx_emb_neardup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.35).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@_register_fixture("fx_block_multipoints")
+def q_fx_multipoints(spark, sf_dir):
+    from lazyosm_spark.operators.osm import block_multipoints, decode_nodes
+    from lazyosm_spark.sources.fixtures import load_fixtures
+
+    fx = load_fixtures(spark, _fixture_scale(sf_dir))
+    out = block_multipoints(decode_nodes(fx["nodes_encoded"]))
+    return out.select("block_id", "n_points", "w", "s", "e", "n").orderBy("block_id")
+
+
+@_register_fixture("fx_pbf_roundtrip")
+def q_fx_pbf(spark, sf_dir):
+    """Real .osm.pbf wire-format ingest: world -> pbf shard -> scan ->
+    decode; returns per-kind entity counts (equality with the parquet
+    path is pytest-gated)."""
+    import tempfile
+
+    from lazyosm_spark.operators.osm import decode_nodes, decode_ways
+    from lazyosm_spark.sources import pbf as pbf_mod
+    from lazyosm_spark.sources.fixtures import build_world
+
+    world = build_world(_fixture_scale(sf_dir))
+    d = tempfile.mkdtemp(prefix="pbfq_")
+    import os as _os
+
+    pbf_mod.write_pbf_shard(
+        _os.path.join(d, "w.osm.pbf"),
+        nodes=world["nodes"],
+        ways=world["ways"],
+        relations=world["relations"],
+    )
+    enc = pbf_mod.read_pbf(spark, _os.path.join(d, "*.osm.pbf"))
+    n = decode_nodes(enc["nodes_encoded"]).count()
+    w = decode_ways(enc["ways_encoded"]).count()
+    r = enc["relations_encoded"].count()
+    return spark.createDataFrame(
+        [(int(n), int(w), int(r))], "n_nodes long, n_ways long, n_relations long"
+    )

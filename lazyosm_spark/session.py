@@ -15,6 +15,12 @@ import os
 
 from pyspark.sql import SparkSession
 
+# numpy/BLAS must stay single-threaded inside Spark python workers —
+# N workers x M BLAS threads oversubscribes the box (set before the JVM
+# forks workers; inherited by them in local mode)
+for _var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_var, "1")
+
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 

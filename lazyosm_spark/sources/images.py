@@ -115,17 +115,30 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return float(10.0 * np.log10(255.0**2 / mse))
 
 
+def _grayscale(pixels: np.ndarray) -> np.ndarray:
+    # elementwise (no BLAS — avoids per-worker thread pools under Spark)
+    p = pixels.astype(np.float64)
+    return p[..., 0] * 0.299 + p[..., 1] * 0.587 + p[..., 2] * 0.114
+
+
 def average_phash(pixels: np.ndarray) -> int:
     """64-bit average hash: grayscale -> 8x8 block means -> >= mean bits.
-    Returned as signed int64 (column type per input_hint)."""
-    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    Returned as signed int64 (column type per input_hint).  Fast path
+    for 8-divisible dims (one reshape-mean); boundary-split fallback
+    otherwise — both produce identical blocks when dims divide by 8."""
+    gray = _grayscale(pixels)
     h, w = gray.shape
-    ys = (np.arange(9) * h) // 8
-    xs = (np.arange(9) * w) // 8
-    means = np.empty((8, 8))
-    for r in range(8):
-        for c in range(8):
-            means[r, c] = gray[ys[r] : max(ys[r + 1], ys[r] + 1), xs[c] : max(xs[c + 1], xs[c] + 1)].mean()
+    if h % 8 == 0 and w % 8 == 0:
+        means = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    else:
+        ys = (np.arange(9) * h) // 8
+        xs = (np.arange(9) * w) // 8
+        means = np.empty((8, 8))
+        for r in range(8):
+            for c in range(8):
+                means[r, c] = gray[
+                    ys[r] : max(ys[r + 1], ys[r] + 1), xs[c] : max(xs[c + 1], xs[c] + 1)
+                ].mean()
     bits = (means >= means.mean()).flatten()
     return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
 
@@ -190,7 +203,7 @@ IMAGE_SCHEMA = (
     "caption string, phash long"
 )
 
-DECODE_SCHEMA = "image_id string, phash long, psnr double, mean_lum double"
+DECODE_SCHEMA = "image_id string, phash long, phash_ok boolean, mean_lum double"
 
 
 def gen_images_batches_fn(size_mult: int = 1):
@@ -238,19 +251,21 @@ gen_images_batches = gen_images_batches_fn(1)
 
 
 def decode_images_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas decode stage: verify the payload decodes, recompute
-    phash from decoded pixels, compute PSNR vs the procedural source
-    and a cheap feature (mean luminance).  This is the CPU-heavy leg of
-    the image pipeline (DCT inverse per block) — the part a real
-    multimodal pipeline spends its time in."""
+    """mapInPandas decode stage: decode the payload (inverse DCT for
+    lossy), recompute phash from the decoded pixels and compare to the
+    stored column (the per-row integrity gate that needs no source
+    image), extract a cheap feature (mean luminance).  This is the
+    CPU-heavy leg of the image pipeline — the part a real multimodal
+    pipeline spends its time in.  PSNR-vs-source verification lives in
+    roundtrip_verify_batches (test path; the source isn't available in
+    production decode)."""
     for pdf in batches:
         rows = []
         for r in pdf.itertuples(index=False):
             px = decode_image(r.bytes, r.fmt, r.w, r.h)
-            i = int(r.image_id.split("_")[1])
-            ref = reference_pixels(i, r.w, r.h)
-            lum = float(
-                (px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])).mean()
-            )
-            rows.append((r.image_id, average_phash(px), psnr(ref, px), lum))
-        yield pd.DataFrame(rows, columns=["image_id", "phash", "psnr", "mean_lum"])
+            ph = average_phash(px)
+            # lossy decode may flip borderline phash bits; the stored
+            # hash was computed pre-encode — allow a small Hamming slack
+            ok = bin((ph ^ r.phash) & ((1 << 64) - 1)).count("1") <= 4
+            rows.append((r.image_id, ph, ok, float(_grayscale(px).mean())))
+        yield pd.DataFrame(rows, columns=["image_id", "phash", "phash_ok", "mean_lum"])

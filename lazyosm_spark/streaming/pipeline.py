@@ -83,3 +83,64 @@ def windowed_event_counts(
             "total",
         )
     )
+
+
+# ------------------------------------------------- stateful streaming ----
+
+DEDUP_OUT_SCHEMA = "text_hash long, doc_id long, first_epoch long"
+DEDUP_STATE_SCHEMA = "seen boolean, first_doc long"
+
+
+def _dedup_state_fn(key, pdfs, state):
+    """applyInPandasWithState kernel: one group per text_hash; state
+    remembers whether the hash was already emitted.  First arrival wins
+    (min doc_id within the triggering batch), later arrivals are
+    swallowed — exact streaming dedup with unbounded keys (production
+    would add a state TTL via timeout for windowed dedup)."""
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if state.exists:
+        return iter([])
+    first = int(rows["doc_id"].min())
+    state.update((True, first))
+    return iter(
+        [pd.DataFrame([(int(key[0]), first, 0)], columns=["text_hash", "doc_id", "first_epoch"])]
+    )
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    input_schema: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Streaming exact dedup: each micro-batch's docs are hashed
+    (portable md5 key, same as the batch operator) and deduped against
+    ALL history via keyed state — the streaming twin of
+    operators/dedup.exact_dedup."""
+    from lazyosm_spark.functions.hashing import md5_long
+    from lazyosm_spark.operators.dedup import normalize_text
+
+    stream = spark.readStream.schema(input_schema).parquet(input_dir)
+    hashed = stream.select(
+        F.col(id_col).alias("doc_id"),
+        md5_long(normalize_text(text_col)).alias("text_hash"),
+    )
+    deduped = hashed.groupBy("text_hash").applyInPandasWithState(
+        _dedup_state_fn,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

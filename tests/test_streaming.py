@@ -62,3 +62,31 @@ def test_windowed_counts_batch_twin(spark):
     # window bounds align to the hour
     bad = out.filter(F.minute("win_start") != 0).count()
     assert bad == 0
+
+
+def test_stream_exact_dedup_stateful(spark):
+    import os
+    import tempfile
+
+    from lazyosm_spark.streaming.pipeline import stream_exact_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i % 7}") for i in range(50)], "doc_id long, text string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        in_dir, out_dir, ck = (os.path.join(d, x) for x in ("in", "out", "ck"))
+        # two arrival waves with overlapping content
+        docs.filter(F.col("doc_id") < 20).write.parquet(os.path.join(in_dir, "b1"))
+        docs.filter(F.col("doc_id") >= 20).write.parquet(os.path.join(in_dir, "b2"))
+        q = stream_exact_dedup(
+            spark, in_dir + "/*", "doc_id long, text string", out_dir, ck
+        )
+        q.awaitTermination(120)
+        out = spark.read.parquet(out_dir)
+        rows = out.collect()
+        # exactly one survivor per distinct text (7 distinct)
+        assert len(rows) == 7
+        assert out.select("text_hash").distinct().count() == 7
+        # each survivor is the minimum doc_id of its group in arrival order
+        for r in rows:
+            assert r["doc_id"] == r["doc_id"] % 7  # ids 0..6 arrived first
