@@ -47,6 +47,9 @@ def main() -> None:
     ap.add_argument("--output", default=None)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--buckets", type=int, default=64, help="lineage bucket count (resume granularity)")
+    ap.add_argument("--max-partition-mb", type=int, default=16,
+                    help="scan split size; small enough that tasks >> cores (at 100TB leave 128)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -65,7 +68,13 @@ def main() -> None:
     spark = get_spark(
         app=f"tile_images_c{args.cpus}",
         cpus=args.cpus,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # the decode scan must fan out to >> cores tasks; with the
+            # default 128MB splits a few-GB input yields fewer tasks
+            # than cores and the big configuration starves
+            "spark.sql.files.maxPartitionBytes": str(args.max_partition_mb * 1024 * 1024),
+        },
     )
 
     if args.generate:
@@ -87,12 +96,20 @@ def main() -> None:
     ).count()
 
     t0 = time.time()
+    stage_t: dict[str, float] = {}
+
+    def mark(name):
+        now = time.time()
+        stage_t[name] = round(now - mark.last, 2)
+        mark.last = now
+    mark.last = t0
     images = spark.read.parquet(args.images)
 
     # stage 2: decode (CPU-heavy) — recomputed phash must match stored
     decoded = images.mapInPandas(decode_images_batches, DECODE_SCHEMA)
-    pipe = CheckpointedPipeline(spark, args.output, n_buckets=64)
+    pipe = CheckpointedPipeline(spark, args.output, n_buckets=args.buckets)
     feats = pipe.run_stage("decode_features", decoded, key_col="image_id")
+    mark("decode_stage")
 
     # stage 3+4: footprint points -> spatial join (shuffle-free)
     i = F.regexp_extract("image_id", r"(\d+)", 1).cast("long").cast("double")
@@ -105,6 +122,7 @@ def main() -> None:
     tiles = spark.createDataFrame(gen_tiles())
     membership = tile_points(pts, tiles)
     mem = pipe.run_stage("tile_membership", membership, key_col="point_id")
+    mark("membership_stage")
 
     # stage 5: per-tile rollup with decode features
     rollup = (
@@ -118,10 +136,12 @@ def main() -> None:
         )
     )
     pipe.run_stage("tile_rollup", rollup, key_col="tile_id")
+    mark("rollup_stage")
 
     n_images = images.count()
     n_mem = mem.count()
     n_bad = feats.filter(~F.col("phash_ok")).count()  # reads checkpoint
+    mark("final_counts")
     dt = time.time() - t0
     print(
         json.dumps(
@@ -133,6 +153,7 @@ def main() -> None:
                 "n_integrity_failures": n_bad,
                 "seconds": round(dt, 2),
                 "images_per_sec": round(n_images / dt, 1),
+                "stages": stage_t,
             }
         )
     )

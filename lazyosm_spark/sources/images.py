@@ -96,10 +96,14 @@ def decode_image(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         nbx, nby = (ww + 7) // 8, (hh + 7) // 8
         coeffs = np.frombuffer(raw, dtype=np.int16).reshape(3, nby, nbx, 8, 8)
         out = np.empty((hh, ww, 3), dtype=np.uint8)
+        d32 = _D.astype(np.float32)
         for c in range(3):
-            deq = coeffs[c].astype(np.float64) * _QSTEP
-            blocks = np.einsum("ji,bcjk,kl->bcil", _D, deq, _D)
-            chan = _unblockify(blocks, hh, ww) + 128.0
+            # float32 inverse transform: halves memory traffic; the
+            # quantization error (QSTEP/2 per coeff) dwarfs fp32 eps,
+            # so decoded uint8 pixels are unchanged in practice
+            deq = coeffs[c].astype(np.float32) * np.float32(_QSTEP)
+            blocks = np.einsum("ji,bcjk,kl->bcil", d32, deq, d32)
+            chan = _unblockify(blocks, hh, ww) + np.float32(128.0)
             out[:, :, c] = np.clip(np.round(chan), 0, 255).astype(np.uint8)
         return out
     raise NotImplementedError(
@@ -269,3 +273,105 @@ def decode_images_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             ok = bin((ph ^ r.phash) & ((1 << 64) - 1)).count("1") <= 4
             rows.append((r.image_id, ph, ok, float(_grayscale(px).mean())))
         yield pd.DataFrame(rows, columns=["image_id", "phash", "phash_ok", "mean_lum"])
+
+
+# ---------------------------------------------------------------------------
+# Multimodal operator plumbing (brief: image/audio/video as opaque binary
+# + typed metadata).  Image resize is REAL (numpy); audio/video decode
+# are STUBBED behind NotImplementedError with deterministic fakes — the
+# Spark-side plumbing (schema, batching, UDF signature) is real and
+# tested, the codec swap-in point is marked.
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+
+
+def resize_images_batches_fn(target_w: int, target_h: int):
+    """mapInPandas: decode -> area-mean resample to (target_w, target_h)
+    -> re-encode raw.  Pure numpy (index-map gather + box mean)."""
+
+    def resize(px: np.ndarray, tw: int, th: int) -> np.ndarray:
+        h, w = px.shape[:2]
+        # bilinear via index maps (vectorized gather)
+        ys = np.clip((np.arange(th) + 0.5) * h / th - 0.5, 0, h - 1)
+        xs = np.clip((np.arange(tw) + 0.5) * w / tw - 0.5, 0, w - 1)
+        y0 = np.floor(ys).astype(int); y1 = np.minimum(y0 + 1, h - 1)
+        x0 = np.floor(xs).astype(int); x1 = np.minimum(x0 + 1, w - 1)
+        fy = (ys - y0)[:, None, None]
+        fx = (xs - x0)[None, :, None]
+        p = px.astype(np.float64)
+        out = (
+            p[y0][:, x0] * (1 - fy) * (1 - fx)
+            + p[y0][:, x1] * (1 - fy) * fx
+            + p[y1][:, x0] * fy * (1 - fx)
+            + p[y1][:, x1] * fy * fx
+        )
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode_image(r.bytes, r.fmt, r.w, r.h)
+                small = resize(px, target_w, target_h)
+                rows.append((r.image_id, small.tobytes(), target_w, target_h, "raw"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return fn
+
+
+AUDIO_FEATURES_SCHEMA = "clip_id string, n_samples long, rms double, zero_crossings long"
+
+
+def audio_features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB codec, real plumbing.  Input: (clip_id string, bytes binary,
+    codec string, sample_rate int).  'pcm16' decodes for real (int16
+    little-endian); any compressed codec raises NotImplementedError at
+    the clearly-marked swap-in point (production: soundfile/ffmpeg)."""
+    for pdf in batches:
+        rows = []
+        for r in pdf.itertuples(index=False):
+            if r.codec == "pcm16":
+                x = np.frombuffer(r.bytes, dtype="<i2").astype(np.float64) / 32768.0
+            else:
+                # >>> codec swap-in point (sandbox has no audio libs) <<<
+                raise NotImplementedError(f"audio codec {r.codec!r}: stubbed")
+            rows.append(
+                (
+                    r.clip_id,
+                    len(x),
+                    float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,
+                    int(np.count_nonzero(np.diff(np.signbit(x)))),
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=["clip_id", "n_samples", "rms", "zero_crossings"]
+        )
+
+
+FRAME_SAMPLE_SCHEMA = "video_id string, frame_idx int, frame binary, w int, h int"
+
+
+def sample_video_frames_batches_fn(every_n: int = 10):
+    """STUB codec, real plumbing.  Input: (video_id string, bytes
+    binary, codec string, n_frames int, w int, h int).  'rawv' treats
+    bytes as concatenated raw RGB frames and slices every_n-th frame
+    for real; compressed codecs raise at the swap-in point
+    (production: pyav/ffmpeg)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.codec != "rawv":
+                    # >>> codec swap-in point (sandbox has no video libs) <<<
+                    raise NotImplementedError(f"video codec {r.codec!r}: stubbed")
+                fsize = r.w * r.h * 3
+                for idx in range(0, r.n_frames, every_n):
+                    frame = r.bytes[idx * fsize : (idx + 1) * fsize]
+                    rows.append((r.video_id, idx, frame, r.w, r.h))
+            yield pd.DataFrame(
+                rows, columns=["video_id", "frame_idx", "frame", "w", "h"]
+            )
+
+    return fn
