@@ -74,8 +74,9 @@ def grid_knn(
     pending = q.persist()
     done_parts: list[DataFrame] = []
     ring = start_ring
+    n_pending: int | None = None  # unknown before round 1
     for _ in range(max_rounds):
-        if pending.limit(1).count() == 0:
+        if n_pending == 0:
             break
         cand = (
             pending.select(
@@ -103,7 +104,10 @@ def grid_knn(
         )
         done_parts.append(topk.join(ok_ids, "query_id", "left_semi"))
         nxt = pending.join(ok_ids, "query_id", "left_anti").persist()
-        nxt.count()  # materialize before unpersisting the parent
+        # materialize before unpersisting the parent; the count doubles
+        # as next round's emptiness check (a limit(1).count() probe
+        # would re-execute the whole upstream plan under AQE)
+        n_pending = nxt.count()
         pending.unpersist()
         pending = nxt
         ring *= 2

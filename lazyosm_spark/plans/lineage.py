@@ -132,21 +132,34 @@ class CheckpointedPipeline:
             pending.repartition(F.col("bucket")).write.mode("append").partitionBy(
                 "bucket"
             ).parquet(self._data_path(stage))
-            lineage = self.spark.createDataFrame(lineage_rows).withColumn(
-                "stage", F.lit(stage)
+            commit_seq = self._next_commit_seq(stage)
+            lineage = (
+                self.spark.createDataFrame(lineage_rows)
+                .withColumn("stage", F.lit(stage))
+                .withColumn("commit_seq", F.lit(commit_seq))
             )
             lineage.write.mode("append").parquet(self._lineage_path(stage))
-            self._log_snapshot(stage)
+            self._log_snapshot(stage, commit_seq)
         pending.unpersist()
         return self.spark.read.parquet(self._data_path(stage)).drop("bucket")
 
-    def _log_snapshot(self, stage: str) -> None:
+    def _next_commit_seq(self, stage: str) -> int:
+        """Commit ordinal per stage, derived from the snapshot log (the
+        commit-order source of truth for time travel)."""
+        path = os.path.join(self.root, "_snapshots.jsonl")
+        if not os.path.exists(path):
+            return 0
+        with open(path) as f:
+            return sum(1 for line in f if json.loads(line)["stage"] == stage)
+
+    def _log_snapshot(self, stage: str, commit_seq: int) -> None:
         lin = self.spark.read.parquet(self._lineage_path(stage))
         agg = lin.agg(
             F.count("*").alias("n_buckets"), F.sum("row_count").alias("rows")
         ).first()
         rec = {
             "stage": stage,
+            "commit_seq": commit_seq,
             "n_buckets": int(agg["n_buckets"]),
             "rows": int(agg["rows"]),
             "ts": time.time(),
