@@ -14,8 +14,9 @@ so a kill mid-run resumes without duplicate work):
 
   1. scan images (image_id, bytes, w, h, fmt, caption, phash)
   2. DECODE: mapInPandas — decode payload (inverse DCT for lossy),
-     recompute phash from pixels, PSNR vs source (the >=40dB gate),
-     mean-luminance feature.  The CPU-heavy multimodal leg.
+     recompute phash from the decoded pixels against the stored
+     column (per-row integrity gate), mean-luminance feature.  The
+     CPU-heavy multimodal leg; PSNR-vs-source lives in the test path.
   3. derive footprint points (deterministic from image_id; production
      reads EXIF/geo metadata the same way)
   4. spatial join: cell encode (JVM) + broadcast tile keys + vectorized

@@ -38,8 +38,10 @@ def test_tile_points_matches_bruteforce_oracle(spark, fx):
     assert got == want
 
 
-def test_tile_points_salted_equals_unsalted(spark, fx):
-    from lazyosm_spark.operators.spatial_join import tile_points
+def test_tile_points_variants_agree(spark, fx):
+    """broadcast (flagship) == shuffle == salted shuffle — the three
+    physical strategies share exact semantics."""
+    from lazyosm_spark.operators.spatial_join import tile_points, tile_points_shuffle
 
     pdf = spark.createDataFrame(
         _points(200), "point_id string, lon double, lat double"
@@ -48,11 +50,45 @@ def test_tile_points_salted_equals_unsalted(spark, fx):
         (r["point_id"], r["tile_id"])
         for r in tile_points(pdf, fx["tiles"]).collect()
     }
+    shuffled = {
+        (r["point_id"], r["tile_id"])
+        for r in tile_points_shuffle(pdf, fx["tiles"]).collect()
+    }
     salted = {
         (r["point_id"], r["tile_id"])
-        for r in tile_points(pdf, fx["tiles"], salt=8).collect()
+        for r in tile_points_shuffle(pdf, fx["tiles"], salt=8).collect()
+    }
+    assert base == shuffled == salted
+
+
+def test_tile_points_skewed_hotspot(spark, fx):
+    """Dense-city skew: 90% of points inside ONE tile's cell.  The
+    salted shuffle variant must agree with broadcast, and salting must
+    actually split the hot group across salt buckets."""
+    from lazyosm_spark.operators.spatial_join import tile_points, tile_points_shuffle
+
+    # pick one real tile and aim points at its ring centroid
+    t = fx["tiles"].first()
+    ring = [list(p) for p in t["ring"]]
+    cx = sum(p[0] for p in ring) / len(ring)
+    cy = sum(p[1] for p in ring) / len(ring)
+    hot = [(f"h{i}", cx + (i % 7) * 1e-6, cy + (i % 5) * 1e-6) for i in range(900)]
+    spread = _points(100)
+    pdf = spark.createDataFrame(
+        hot + spread, "point_id string, lon double, lat double"
+    )
+    base = {
+        (r["point_id"], r["tile_id"])
+        for r in tile_points(pdf, fx["tiles"]).collect()
+    }
+    salted = {
+        (r["point_id"], r["tile_id"])
+        for r in tile_points_shuffle(pdf, fx["tiles"], salt=8).collect()
     }
     assert base == salted
+    # the hot tile must dominate membership (skew actually present)
+    hot_members = sum(1 for pid, tid in base if tid == t["tile_id"])
+    assert hot_members >= 800
 
 
 def test_grid_knn_equals_bruteforce(spark):
