@@ -116,9 +116,14 @@ def minhash_lsh_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.concat_ws("_", *parts).alias("key"))
         )
-    buckets = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # persist: the bucket table self-joins (a x b) — without this the
+    # signature pipeline (8 md5-min passes over the shingle arrays)
+    # evaluates once per join side
+    buckets = (
+        sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .persist()
+    )
 
     a = buckets.alias("a")
     b = buckets.alias("b")
