@@ -1203,3 +1203,63 @@ def q_fx_pbf(spark, sf_dir):
     return spark.createDataFrame(
         [(int(n), int(w), int(r))], "n_nodes long, n_ways long, n_relations long"
     )
+
+
+@_register_fixture("fx_streaming_tiling")
+def q_fx_streaming(spark, sf_dir):
+    """Structured Streaming micro-batch tiling (availableNow) — result
+    provably equals the batch operator (pytest); here the driver sees
+    the streaming path produce rows."""
+    import os as _os
+    import tempfile
+
+    from lazyosm_spark.operators.spatial_join import tile_points
+    from lazyosm_spark.sources.fixtures import load_fixtures
+    from lazyosm_spark.streaming.pipeline import stream_tile_points
+
+    fx = load_fixtures(spark, _fixture_scale(sf_dir))
+    pts = _doc_points(spark, sf_dir).selectExpr(
+        "cast(doc_id as string) as point_id", "lon", "lat"
+    )
+    d = tempfile.mkdtemp(prefix="stream_q_")
+    pts.write.parquet(_os.path.join(d, "in", "b1"))
+    q = stream_tile_points(
+        spark,
+        input_dir=_os.path.join(d, "in") + "/*",
+        input_schema="point_id string, lon double, lat double",
+        tiles=fx["tiles"],
+        output_dir=_os.path.join(d, "out"),
+        checkpoint_dir=_os.path.join(d, "ck"),
+    )
+    q.awaitTermination(240)
+    return (
+        spark.read.parquet(_os.path.join(d, "out"))
+        .groupBy("resolution")
+        .agg(F.count("*").alias("n"))
+        .orderBy("resolution")
+    )
+
+
+@_register_fixture("fx_stateful_stream_dedup")
+def q_fx_stateful(spark, sf_dir):
+    """applyInPandasWithState streaming dedup over the documents table
+    split into two arrival waves."""
+    import os as _os
+    import tempfile
+
+    from lazyosm_spark.streaming.pipeline import stream_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="sdedup_q_")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(_os.path.join(d, "in", "b1"))
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(_os.path.join(d, "in", "b2"))
+    q = stream_exact_dedup(
+        spark, _os.path.join(d, "in") + "/*", "doc_id long, text string",
+        _os.path.join(d, "out"), _os.path.join(d, "ck"),
+    )
+    q.awaitTermination(240)
+    out = spark.read.parquet(_os.path.join(d, "out"))
+    return out.agg(
+        F.count("*").alias("n_unique"),
+        F.countDistinct("text_hash").alias("n_hashes"),
+    )
