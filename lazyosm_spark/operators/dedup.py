@@ -53,8 +53,16 @@ def with_shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 3
 ) -> DataFrame:
     """Materialize the shingle array ONCE as a column — computing it
-    inline inside each signature expression re-evaluates the O(n^2)
-    slice pipeline per hash seed (measured 10x slowdown)."""
+    inline inside each signature expression re-evaluates the shingle
+    pipeline per hash seed (measured 10x slowdown).  Uses the Arrow
+    tokenizer for the default trigram case (10x the JVM expression,
+    element-identical); other n fall back to the JVM expression."""
+    if ngram == 3:
+        from lazyosm_spark.functions.hashing import shingles_pandas
+
+        return docs.select(
+            F.col(id_col).alias("doc_id"), shingles_pandas()(F.col(text_col)).alias("sh")
+        )
     return docs.select(
         F.col(id_col).alias("doc_id"), shingles(text_col, ngram).alias("sh")
     )
@@ -166,9 +174,7 @@ def ngram_jaccard_pairs(
             f"ngram_jaccard_pairs is the small-scale oracle (n={n} > {max_rows}); "
             "use minhash_lsh_pairs at scale"
         )
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), shingles(text_col, ngram).alias("sh")
-    )
+    sh = with_shingles(docs, id_col, text_col, ngram).persist()
     a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
     return (
