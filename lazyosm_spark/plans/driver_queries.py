@@ -1263,3 +1263,27 @@ def q_fx_stateful(spark, sf_dir):
         F.count("*").alias("n_unique"),
         F.countDistinct("text_hash").alias("n_hashes"),
     )
+
+
+@_register(
+    "cube_counts",
+    """
+SELECT coalesce(l_returnflag, '<all>') AS rf,
+       coalesce(l_linestatus, '<all>') AS ls,
+       coalesce(CAST(l_suppkey AS VARCHAR), '<all>') AS sk,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem WHERE l_suppkey <= 3 GROUP BY CUBE(l_returnflag, l_linestatus, l_suppkey)
+""",
+)
+def q_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 3)
+    return (
+        li.cube("l_returnflag", "l_linestatus", "l_suppkey")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("ls"),
+            F.coalesce(F.col("l_suppkey").cast("string"), F.lit("<all>")).alias("sk"),
+            "n",
+        )
+    )

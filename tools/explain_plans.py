@@ -91,6 +91,12 @@ def main() -> None:
     # policy: pay the layout once, join shuffle-free forever)
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # the in-memory catalog forgets tables between sessions but the
+    # warehouse dirs persist — saveAsTable refuses over leftovers
+    import shutil
+
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(os.path.join("spark-warehouse", t), ignore_errors=True)
     o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
     li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
     o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
