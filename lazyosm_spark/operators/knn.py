@@ -10,10 +10,18 @@ mandates grid kNN via cell-ring expansion.  Design:
 - EXACTNESS: a neighbor found within ring radius R is only guaranteed
   k-nearest if its distance <= R * cell_size (anything outside the ring
   is at least that far).  Queries whose k-th candidate fails the bound
-  (or with < k candidates) escalate to the next round with a doubled
-  radius; the final round falls back to brute force for the stragglers.
-  Each round is a plain Spark join — the loop is driver-side over
-  DataFrames, never over rows.
+  (or with < k candidates) ESCALATE TO A COARSER RESOLUTION (res-2 per
+  level, same ring width -> 16x the covered area) until a level's ring
+  covers the whole grid — at full coverage every point is a candidate,
+  so that level's top-k is exact by construction and NO brute-force
+  cross join exists anywhere (a straggler query can never trigger a
+  |pending| x |points| cartesian blow-up; the worst case is an
+  equi-join on a handful of coarse cell keys, and only the queries
+  whose k-th neighbor is ~a grid-quadrant away ever reach it).
+  Each level is a plain Spark equi-join — the loop is driver-side over
+  DataFrames, never over rows, with exactly ONE driver action (an
+  emptiness count) per executed level; at typical densities level 0
+  satisfies every query and the whole operator is two Spark jobs.
 
 Distance is planar Euclidean in degrees (documented engine semantic;
 fixtures pin it).  Ties break by neighbor id ascending (SURVEY.md §7
@@ -49,40 +57,56 @@ def grid_knn(
     points: DataFrame,
     k: int,
     res: int = 7,
-    start_ring: int = 1,
-    max_rounds: int = 3,
+    start_ring: int = 2,
+    level_step: int = 2,
 ) -> DataFrame:
     """queries(query_id, lon, lat) × points(point_id, lon, lat) ->
-    exact (query_id, neighbor_id, rank, dist)."""
+    exact (query_id, neighbor_id, rank, dist).
+
+    Levels: resolution res, res-level_step, ... down to the first
+    resolution whose grid the ring fully covers (the provably-exact
+    terminal level).  No cross join at any level — the plan-audit
+    (tools/explain_plans.py) asserts no CartesianProduct node.
+    """
     q = queries.select(
         F.col("query_id").cast("string").alias("query_id"),
         F.col("lon").alias("qlon"),
         F.col("lat").alias("qlat"),
-        cell_encode("lon", "lat", res).alias("qcell"),
     )
     p = points.select(
         F.col("point_id").cast("string").alias("neighbor_id"),
         F.col("lon").alias("plon"),
         F.col("lat").alias("plat"),
-        cell_encode("lon", "lat", res).alias("pcell"),
     )
-    cell_h = 180.0 / (1 << res)  # lat extent of a cell (the tighter bound)
 
-    # Each round materializes (persist) so the driver-side loop never
-    # recomputes prior rounds' joins — without this, round N's anti-join
-    # re-executes every upstream shuffle once per downstream action.
-    pending = q.persist()
-    done_parts: list[DataFrame] = []
-    ring = start_ring
-    n_pending: int | None = None  # unknown before round 1
-    for _ in range(max_rounds):
-        if n_pending == 0:
+    # resolution ladder: stop at the first level the ring fully covers
+    # (Chebyshev radius >= grid_dim - 1 -> every cell is in the ring)
+    levels: list[int] = []
+    r = res
+    while True:
+        r = max(r, 0)
+        levels.append(r)
+        if (1 << r) - 1 <= start_ring or r == 0:
             break
+        r -= level_step
+
+    pending = q
+    done_parts: list[DataFrame] = []
+    wq = Window.partitionBy("query_id")
+    for i, res_l in enumerate(levels):
+        is_final = i == len(levels) - 1
+        cell_h = 180.0 / (1 << res_l)  # lat extent of a cell (tighter bound)
+        guarantee = float(start_ring * cell_h)
         cand = (
             pending.select(
-                "query_id", "qlon", "qlat", F.explode(k_ring("qcell", ring)).alias("pcell")
+                "query_id",
+                "qlon",
+                "qlat",
+                F.explode(
+                    k_ring(cell_encode("qlon", "qlat", res_l), start_ring)
+                ).alias("pcell"),
             )
-            .join(p, "pcell")
+            .join(p.withColumn("pcell", cell_encode("plon", "plat", res_l)), "pcell")
             .select(
                 "query_id",
                 "neighbor_id",
@@ -91,37 +115,35 @@ def grid_knn(
                 ).alias("dist"),
             )
         )
-        topk = _topk(cand, k).persist()
-        # guarantee: k-th distance within the ring's safe radius (points
-        # outside Chebyshev ring R are at least R*cell_h away)
-        guarantee = float(ring * cell_h)
-        ok_ids = (
-            topk.groupBy("query_id")
-            .agg(F.count("*").alias("n"), F.max("dist").alias("kth"))
-            .filter((F.col("n") == k) & (F.col("kth") <= F.lit(guarantee)))
-            .select("query_id")
-            .persist()
+        scored = (
+            _topk(cand, k)
+            .withColumn("n", F.count("*").over(wq))
+            .withColumn("kth", F.max("dist").over(wq))
         )
-        done_parts.append(topk.join(ok_ids, "query_id", "left_semi"))
-        nxt = pending.join(ok_ids, "query_id", "left_anti").persist()
-        # materialize before unpersisting the parent; the count doubles
-        # as next round's emptiness check (a limit(1).count() probe
-        # would re-execute the whole upstream plan under AQE)
-        n_pending = nxt.count()
-        pending.unpersist()
+        # at the terminal level the ring covers the whole grid, so the
+        # top-k is exact regardless of the distance bound (and queries
+        # with fewer than k reachable points emit what exists)
+        ok = (
+            scored
+            if is_final
+            else scored.filter(
+                (F.col("n") == k) & (F.col("kth") <= F.lit(guarantee))
+            )
+        ).select("query_id", "neighbor_id", "rank", "dist").persist()
+        done_parts.append(ok)
+        if is_final:
+            break
+        nxt = pending.join(
+            ok.select("query_id").distinct(), "query_id", "left_anti"
+        ).persist()
+        # the ONE action per level: materializes `ok` into cache (it is
+        # reused by the final union) and doubles as the emptiness probe
+        # (a limit(1).count() probe would re-execute the whole upstream
+        # plan under AQE)
+        if nxt.count() == 0:
+            break
         pending = nxt
-        ring *= 2
 
-    # brute-force only the stragglers (few, by construction; the ring
-    # rounds have already satisfied every query with a provable bound)
-    brute = pending.crossJoin(p).select(
-        "query_id",
-        "neighbor_id",
-        F.sqrt(
-            _dist2(F.col("qlon"), F.col("qlat"), F.col("plon"), F.col("plat"))
-        ).alias("dist"),
-    )
-    done_parts.append(_topk(brute, k))
     out = done_parts[0]
     for part in done_parts[1:]:
         out = out.unionByName(part)

@@ -116,6 +116,16 @@ def main() -> None:
     ]
     sections.append(("bucketed co-located join (bucketBy both sides)", p, checks))
 
+    # 6. grid kNN: ring-escalation only — a cartesian fallback would be
+    # the one scale-killer this operator could hide (VERDICT r1 #1)
+    q6 = dq.QUERIES["grid_knn"](spark, SF_DIR)
+    p = plan_of(q6)
+    checks = [
+        ("no CartesianProduct node anywhere", "CartesianProduct" not in p),
+        ("no BroadcastNestedLoopJoin fallback", "BroadcastNestedLoopJoin" not in p),
+    ]
+    sections.append(("grid_knn (cell-ring expansion, no brute force)", p, checks))
+
     ok = True
     lines = ["# Physical-plan audit (generated by tools/explain_plans.py)\n"]
     for name, plan, checks in sections:
