@@ -186,10 +186,14 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
     rel_id = int(pdf["rel_id"].iloc[0])
     members: dict[str, list[list[tuple]]] = {"outer": [], "inner": []}
     for row in pdf.sort_values("member_pos").itertuples(index=False):
-        role = row.role if row.role in ("outer", "inner") else "outer"
+        if row.role not in ("outer", "inner"):
+            # the reference appends ONLY role=='inner'/'outer' members
+            # (relation_handler.go:430-435, no else branch) — any other
+            # role ('outline', '', etc.) is dropped, not coerced
+            continue
         line = [tuple(pt) for pt in row.line]
         if len(line) >= 2:
-            members[role].append(line)
+            members[row.role].append(line)
     outers = connect_rings(members["outer"])
     inners = connect_rings(members["inner"])
     # RoundPt: half-up/floor rounding to 6dp on relation rings ONLY

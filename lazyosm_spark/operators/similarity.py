@@ -100,6 +100,34 @@ def lsh_bucket(vec_col, n_planes: int, dim: int, band: int, band_width: int):
     return key
 
 
+def dot_sql(va: str, vb: str, dim: int) -> str:
+    """DuckDB twin of _dot(): the SAME left-to-right sequential sum
+    F.aggregate performs (0.0 + p1 + p2 + ...), so the doubles are
+    bit-identical and rank orderings agree exactly."""
+    terms = " + ".join(f"({va}[{d + 1}] * {vb}[{d + 1}])" for d in range(dim))
+    return f"(0.0 + {terms})"
+
+
+def norm_sql(v: str, dim: int) -> str:
+    terms = " + ".join(f"({v}[{d + 1}] * {v}[{d + 1}])" for d in range(dim))
+    return f"sqrt(0.0 + {terms})"
+
+
+def lsh_bucket_sql(vec_expr: str, dim: int, band: int, band_width: int) -> str:
+    """DuckDB twin of lsh_bucket(): identical plane weights (md5 parity)
+    embedded as +-1.0 literals, identical sequential dot, identical
+    key packing — the oracle computes the same buckets bit-for-bit."""
+    key = "0"
+    for p in range(band * band_width, (band + 1) * band_width):
+        terms = " + ".join(
+            f"({vec_expr}[{d + 1}] * {float(_plane_weight(p, d))!r})"
+            for d in range(dim)
+        )
+        s = f"(0.0 + {terms})"
+        key = f"(({key}) * 2 + (CASE WHEN {s} >= 0 THEN 1 ELSE 0 END))"
+    return key
+
+
 def lsh_ann_topk(
     items: DataFrame,
     queries: DataFrame,

@@ -785,16 +785,28 @@ def q_fingerprint(spark, sf_dir):
 
 
 # ======================================================================
-# Fixture-backed operators (geometry / images) — no DuckDB oracle; the
-# driver records rows-only checks, pytest carries the golden oracles.
+# Fixture-backed operators (geometry / images / ANN).  Each now carries
+# a DuckDB oracle too: either pure SQL (formula-identical twins of the
+# LSH/simhash/kNN math) or read_parquet over the COMMITTED golden
+# artifacts produced by the independent scalar oracle
+# (tools/make_golden.py make_driver_artifacts -> tests/golden_driver/,
+# regenerate + commit after fixture or geometry changes).
 # ======================================================================
 
 FIXTURE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
+GOLDEN_DIR = "/root/repo/tests/golden_driver"
 
-def _register_fixture(name: str):
+
+def _golden(name: str) -> str:
+    return f"read_parquet('{GOLDEN_DIR}/{name}.parquet')"
+
+
+def _register_fixture(name: str, oracle: str | None = None):
     def deco(fn):
         FIXTURE_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
         return fn
 
     return deco
@@ -806,9 +818,18 @@ def _fixture_scale(sf_dir: str) -> str:
     )
 
 
-@_register_fixture("fx_relation_assembly")
+@_register_fixture(
+    "fx_relation_assembly",
+    f"""
+SELECT osm_id, geom_type,
+       CAST(n_outers AS BIGINT) AS n_outers,
+       CAST(n_inners AS BIGINT) AS n_inners
+FROM {_golden('relation_features_small')}
+""",
+)
 def q_fx_assembly(spark, sf_dir):
-    """Ring connect + PIP nesting -> (Multi)Polygon features."""
+    """Ring connect + PIP nesting -> (Multi)Polygon features; oracle =
+    the independent scalar-oracle golden artifact."""
     from lazyosm_spark.operators.osm import (
         decode_nodes,
         decode_relations,
@@ -823,10 +844,18 @@ def q_fx_assembly(spark, sf_dir):
         decode_ways(fx["ways_encoded"]),
         decode_nodes(fx["nodes_encoded"]),
     )
-    return rf.select("osm_id", "geom_type", "n_outers", "n_inners").orderBy("osm_id")
+    return rf.select(
+        "osm_id",
+        "geom_type",
+        F.col("n_outers").cast("long").alias("n_outers"),
+        F.col("n_inners").cast("long").alias("n_inners"),
+    ).orderBy("osm_id")
 
 
-@_register_fixture("fx_way_features")
+@_register_fixture(
+    "fx_way_features",
+    f"SELECT osm_id, geom_type FROM {_golden('way_features_small')}",
+)
 def q_fx_way_features(spark, sf_dir):
     from lazyosm_spark.operators.osm import decode_nodes, decode_ways, way_features
     from lazyosm_spark.sources.fixtures import load_fixtures
@@ -836,10 +865,18 @@ def q_fx_way_features(spark, sf_dir):
     return wf.select("osm_id", "geom_type").orderBy("osm_id")
 
 
-@_register_fixture("fx_spatial_join_pip")
+@_register_fixture(
+    "fx_spatial_join_pip",
+    f"""
+SELECT image_id AS point_id,
+       CAST(tile_id AS BIGINT) AS tile_id,
+       CAST(resolution AS BIGINT) AS resolution
+FROM {_golden('tile_membership_small')}
+""",
+)
 def q_fx_spatial_join(spark, sf_dir):
     """The flagship: image points x tile polygons, coarse cell join +
-    vectorized PIP refine."""
+    vectorized PIP refine; oracle = scalar ray-cast golden membership."""
     from lazyosm_spark.operators.spatial_join import tile_points
     from lazyosm_spark.sources.fixtures import image_lonlat_sql, load_fixtures
 
@@ -851,10 +888,18 @@ def q_fx_spatial_join(spark, sf_dir):
         "image_id", f"{lon_sql} as lon", f"{lat_sql} as lat"
     )
     out = tile_points(pts, fx["tiles"], point_id="image_id")
-    return out.orderBy("point_id", "tile_id")
+    return out.select(
+        "point_id", "tile_id", F.col("resolution").cast("long").alias("resolution")
+    ).orderBy("point_id", "tile_id")
 
 
-@_register_fixture("fx_image_roundtrip")
+@_register_fixture(
+    "fx_image_roundtrip",
+    f"""
+SELECT image_id, psnr >= 40.0 AS psnr_ok, caption_ok
+FROM {_golden('roundtrip_images_small')}
+""",
+)
 def q_fx_image_roundtrip(spark, sf_dir):
     """decode(encode(img)) fidelity + caption byte-equality (input_hint
     per-row invariant): psnr >= 40 lossy, inf lossless."""
@@ -872,46 +917,160 @@ def q_fx_image_roundtrip(spark, sf_dir):
     ).orderBy("image_id")
 
 
-@_register_fixture("fx_phash_hamming_knn")
+@_register_fixture(
+    "fx_phash_hamming_knn",
+    f"""
+WITH im AS (SELECT image_id, phash FROM {_golden('phash_small')}),
+q AS (SELECT image_id AS query_id, phash AS qhash FROM im
+      WHERE image_id <= 'img_000000000009'),
+c AS (SELECT q.query_id, im.image_id AS neighbor_id,
+             CAST(bit_count(xor(q.qhash, im.phash)) AS BIGINT) AS dist
+      FROM q, im WHERE im.image_id != q.query_id)
+SELECT query_id, neighbor_id, dist, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY dist ASC, neighbor_id ASC) AS rnk FROM c)
+WHERE rnk <= 5
+""",
+)
 def q_fx_phash_knn(spark, sf_dir):
     from lazyosm_spark.operators.knn import phash_hamming_topk
     from lazyosm_spark.sources.fixtures import load_fixtures
 
     fx = load_fixtures(spark, _fixture_scale(sf_dir))
     images = fx["images"]
-    queries = images.limit(10)
-    return phash_hamming_topk(images, queries, k=5).orderBy("query_id", "rank")
-
-
-@_register_fixture("fx_minhash_lsh_pairs")
-def q_fx_lsh(spark, sf_dir):
-    """Full LSH dedup pipeline (bands -> bucket join -> verify)."""
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.12).orderBy(
-        "doc_id_a", "doc_id_b"
-    )
-
-
-@_register_fixture("fx_simhash_near_pairs")
-def q_fx_simhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, max_hamming=12).orderBy(
-        "doc_id_a", "doc_id_b"
-    )
-
-
-@_register_fixture("fx_lsh_ann_topk")
-def q_fx_lsh_ann(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.lsh_ann_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5
+    queries = images.filter(F.col("image_id") <= "img_000000000009")
+    return phash_hamming_topk(images, queries, k=5).select(
+        "query_id", "neighbor_id", "dist", F.col("rank").cast("long").alias("rank")
     ).orderBy("query_id", "rank")
 
 
-@_register_fixture("fx_grid_knn_large")
+def _minhash_lsh_sql(
+    n_hashes: int = 8, bands: int = 4, ngram: int = 3, threshold: float = 0.12
+) -> str:
+    """DuckDB twin of the FULL minhash-LSH pipeline: shingles ->
+    signatures -> band keys (concat_ws, NULL-skipping like Spark's) ->
+    bucket-share condition -> exact Jaccard verify.  Same md5 hashes,
+    same int/int division -> identical doubles."""
+    from lazyosm_spark.functions.hashing import shingles_sql
+
+    sh = shingles_sql("text", ngram)
+    sig_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> {md5_long_sql('s', seed=i)})) AS sig_{i}"
+        for i in range(n_hashes)
+    )
+    rpb = n_hashes // bands
+    key_cols = ", ".join(
+        "concat_ws('_', "
+        + ", ".join(f"sig_{b * rpb + r}" for r in range(rpb))
+        + f") AS k{b}"
+        for b in range(bands)
+    )
+    share = " OR ".join(f"a.k{b} = b.k{b}" for b in range(bands))
+    return f"""
+WITH s AS (SELECT doc_id, {sh} AS sh FROM documents),
+g AS (SELECT doc_id, sh, {sig_cols} FROM s),
+k AS (SELECT doc_id, sh, {key_cols} FROM g),
+cand AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.sh AS sa, b.sh AS sb
+         FROM k a JOIN k b ON ({share})
+         WHERE a.doc_id < b.doc_id),
+j AS (SELECT doc_id_a, doc_id_b,
+             CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) AS jac
+      FROM cand)
+SELECT doc_id_a, doc_id_b, round(jac, 9) AS jaccard FROM j WHERE jac >= {threshold!r}
+"""
+
+
+@_register_fixture("fx_minhash_lsh_pairs", _minhash_lsh_sql())
+def q_fx_lsh(spark, sf_dir):
+    """Full LSH dedup pipeline (bands -> bucket join -> exploded-join
+    Jaccard verify) vs the formula-identical DuckDB twin."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.12)
+    return out.select(
+        "doc_id_a", "doc_id_b", F.round("jaccard", 9).alias("jaccard")
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+@_register_fixture(
+    "fx_simhash_near_pairs",
+    f"""
+WITH s AS (SELECT doc_id, {dedup.simhash64_sql('text')} AS simhash FROM documents)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+""",
+)
+def q_fx_simhash(spark, sf_dir):
+    """simhash_near_pairs is EXACT (pigeonhole n_blocks = max_hamming+1),
+    so the oracle is a plain all-pairs bit_count over the identical
+    simhash values (simhash64_sql twin)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.simhash_near_pairs(docs, max_hamming=12)
+    return out.select(
+        "doc_id_a", "doc_id_b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+def _lsh_ann_sql(k: int = 5, dim: int = 64, n_planes: int = 12, bands: int = 3) -> str:
+    """DuckDB twin of lsh_ann_topk: identical plane weights / bucket
+    keys / sequential-sum cosine -> the approximate result matches the
+    approximate engine bit-for-bit."""
+    bw = n_planes // bands
+    keys = lambda v: ", ".join(  # noqa: E731
+        f"{similarity.lsh_bucket_sql(v, dim, b, bw)} AS k{b}" for b in range(bands)
+    )
+    share = " OR ".join(f"qk.k{b} = ik.k{b}" for b in range(bands))
+    cos = (
+        f"({similarity.dot_sql('qv', 'nv', dim)} / "
+        f"({similarity.norm_sql('qv', dim)} * {similarity.norm_sql('nv', dim)}))"
+    )
+    return f"""
+WITH it AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ik AS (SELECT vec_id, v, {keys('v')} FROM it),
+qk AS (SELECT * FROM ik WHERE vec_id < 10),
+cand AS (SELECT qk.vec_id AS query_id, ik.vec_id AS neighbor_id,
+                qk.v AS qv, ik.v AS nv
+         FROM qk JOIN ik ON ({share})
+         WHERE ik.vec_id != qk.vec_id)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+            ORDER BY {cos} DESC, neighbor_id ASC) AS rnk
+  FROM cand)
+WHERE rnk <= {k}
+"""
+
+
+@_register_fixture("fx_lsh_ann_topk", _lsh_ann_sql())
+def q_fx_lsh_ann(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+@_register_fixture(
+    "fx_grid_knn_large",
+    f"""
+WITH p AS ({_DOC_POINTS_SQL}),
+d AS (SELECT q.doc_id AS qid, CAST(pp.doc_id AS VARCHAR) AS nid,
+             sqrt((q.lon - pp.lon)*(q.lon - pp.lon)
+                + (q.lat - pp.lat)*(q.lat - pp.lat)) AS dist
+      FROM p q, p pp),
+r AS (SELECT qid, dist, row_number() OVER (PARTITION BY qid
+             ORDER BY dist ASC, nid ASC) AS rnk FROM d)
+SELECT CAST(qid AS VARCHAR) AS query_id,
+       CAST(count(*) AS BIGINT) AS n,
+       round(max(dist), 9) AS kth_dist
+FROM r WHERE rnk <= 4 GROUP BY qid
+""",
+)
 def q_fx_grid_knn(spark, sf_dir):
     """Grid kNN with a larger query fan-out (all doc points as queries)
-    — exercises the ring-expansion rounds + brute-force fallback."""
+    — exercises the ring-expansion levels; oracle = SQL brute force."""
     from lazyosm_spark.operators.knn import grid_knn
 
     pts = _doc_points(spark, sf_dir)
@@ -1149,33 +1308,95 @@ def q_cosine_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cos", 9).alias("cos"))
 
 
-@_register_fixture("fx_ivf_ann_topk")
+@_register_fixture(
+    "fx_ivf_ann_topk",
+    """
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+     it AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT q.vec_id AS query_id, it.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY (list_dot_product(q.v, it.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(it.v, it.v)))) DESC,
+                     it.vec_id ASC) AS rank
+  FROM q, it WHERE it.vec_id != q.vec_id
+) WHERE rank <= 5
+""",
+)
 def q_fx_ivf(spark, sf_dir):
+    """IVF with nprobe = n_centroids (probe everything): exercises the
+    full machinery — centroid pick, assignment UDF, probe equi-join,
+    re-rank — in its provably-exact configuration, so the oracle is
+    plain brute-force top-k.  The pruned-probe recall (nprobe < n) is
+    pytest-gated (test_similarity.test_ivf_recall_vs_exact)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ivf_ann_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5
+    out = similarity.ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=16
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     ).orderBy("query_id", "rank")
 
 
-@_register_fixture("fx_embedding_near_dup_lsh")
+def _emb_near_dup_sql(
+    threshold: float = 0.35, dim: int = 64, n_planes: int = 12, bands: int = 3
+) -> str:
+    bw = n_planes // bands
+    keys = ", ".join(
+        f"{similarity.lsh_bucket_sql('v', dim, b, bw)} AS k{b}" for b in range(bands)
+    )
+    share = " OR ".join(f"a.k{b} = b.k{b}" for b in range(bands))
+    cos = (
+        f"({similarity.dot_sql('a.v', 'b.v', dim)} / "
+        f"({similarity.norm_sql('a.v', dim)} * {similarity.norm_sql('b.v', dim)}))"
+    )
+    return f"""
+WITH it AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (SELECT vec_id, v, {keys} FROM it)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 9) AS cos
+FROM bk a JOIN bk b ON ({share})
+WHERE a.vec_id < b.vec_id AND {cos} >= {threshold!r}
+"""
+
+
+@_register_fixture("fx_embedding_near_dup_lsh", _emb_near_dup_sql())
 def q_fx_emb_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, threshold=0.35).orderBy(
+    out = similarity.embedding_near_dup_pairs(emb, threshold=0.35)
+    return out.select("id_a", "id_b", F.round("cos", 9).alias("cos")).orderBy(
         "id_a", "id_b"
     )
 
 
-@_register_fixture("fx_block_multipoints")
+@_register_fixture(
+    "fx_block_multipoints",
+    f"""
+SELECT CAST(block_id AS BIGINT) AS block_id,
+       CAST(n_points AS BIGINT) AS n_points, w, s, e, n
+FROM {_golden('block_multipoints_small')}
+""",
+)
 def q_fx_multipoints(spark, sf_dir):
     from lazyosm_spark.operators.osm import block_multipoints, decode_nodes
     from lazyosm_spark.sources.fixtures import load_fixtures
 
     fx = load_fixtures(spark, _fixture_scale(sf_dir))
     out = block_multipoints(decode_nodes(fx["nodes_encoded"]))
-    return out.select("block_id", "n_points", "w", "s", "e", "n").orderBy("block_id")
+    return out.select(
+        F.col("block_id").cast("long").alias("block_id"),
+        F.col("n_points").cast("long").alias("n_points"),
+        "w", "s", "e", "n",
+    ).orderBy("block_id")
 
 
-@_register_fixture("fx_pbf_roundtrip")
+@_register_fixture(
+    "fx_pbf_roundtrip",
+    f"""
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_ways AS BIGINT) AS n_ways,
+       CAST(n_relations AS BIGINT) AS n_relations
+FROM {_golden('world_counts_small')}
+""",
+)
 def q_fx_pbf(spark, sf_dir):
     """Real .osm.pbf wire-format ingest: world -> pbf shard -> scan ->
     decode; returns per-kind entity counts (equality with the parquet
@@ -1205,7 +1426,13 @@ def q_fx_pbf(spark, sf_dir):
     )
 
 
-@_register_fixture("fx_streaming_tiling")
+@_register_fixture(
+    "fx_streaming_tiling",
+    f"""
+SELECT CAST(resolution AS BIGINT) AS resolution, CAST(count(*) AS BIGINT) AS n
+FROM {_golden('doc_tile_membership_sf001')} GROUP BY 1
+""",
+)
 def q_fx_streaming(spark, sf_dir):
     """Structured Streaming micro-batch tiling (availableNow) — result
     provably equals the batch operator (pytest); here the driver sees
@@ -1234,13 +1461,21 @@ def q_fx_streaming(spark, sf_dir):
     q.awaitTermination(240)
     return (
         spark.read.parquet(_os.path.join(d, "out"))
-        .groupBy("resolution")
-        .agg(F.count("*").alias("n"))
+        .groupBy(F.col("resolution").cast("long").alias("resolution"))
+        .agg(F.count("*").cast("long").alias("n"))
         .orderBy("resolution")
     )
 
 
-@_register_fixture("fx_stateful_stream_dedup")
+@_register_fixture(
+    "fx_stateful_stream_dedup",
+    f"""
+WITH h AS (SELECT DISTINCT {md5_long_sql(_NORM_TEXT_SQL)} AS th FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(count(DISTINCT th) AS BIGINT) AS n_hashes
+FROM h
+""",
+)
 def q_fx_stateful(spark, sf_dir):
     """applyInPandasWithState streaming dedup over the documents table
     split into two arrival waves."""

@@ -178,6 +178,20 @@ def build_world(scale: str = "small") -> dict[str, pd.DataFrame]:
     ws = _ring_to_ways(world, ring, 3, rng, close=False)
     world.add_rel(ws, ["outer"] * len(ws), {"type": "multipolygon", "name": "degenerate"})
 
+    # one relation carrying a NON-standard member role: the reference
+    # appends only 'inner'/'outer' members (relation_handler.go:430-435),
+    # so the 'outline' ring — a far-away closed square that would add a
+    # second polygon if coerced to outer — must be dropped entirely
+    ring = _square_ring(int(100.0 / GRAN_DEG), int(40.0 / GRAN_DEG), int(0.04 / GRAN_DEG), nper=2)
+    ws = _ring_to_ways(world, ring, 2, rng)
+    stray = _square_ring(int(-120.0 / GRAN_DEG), int(-40.0 / GRAN_DEG), int(0.03 / GRAN_DEG), nper=2)
+    stray_w = _ring_to_ways(world, stray, 1, rng)
+    world.add_rel(
+        ws + stray_w,
+        ["outer"] * len(ws) + ["outline"] * len(stray_w),
+        {"type": "multipolygon", "name": "nonstandard role"},
+    )
+
     # --- standalone ways: open lines + closed rings (some area=no) ---
     for wix in range(cfg["n_ways"]):
         cx = int((-170 + 340 * _frac((wix + 3) * PHI)) / GRAN_DEG)

@@ -22,10 +22,13 @@ def _oracle_features(fx):
             continue
         members = {"outer": [], "inner": []}
         for mid, role in zip(rel["memids"], rel["roles"]):
+            if role not in members:
+                continue  # reference drops non-inner/outer roles
+                # (relation_handler.go:430-435)
             if mid in ways:
                 line = [nodes[n] for n in ways[mid] if n in nodes]
                 if len(line) >= 2:
-                    members[role if role in members else "outer"].append(line)
+                    members[role].append(line)
         outers = ro.connect(members["outer"])
         inners = ro.connect(members["inner"])
         rnd = lambda ring: [

@@ -81,6 +81,67 @@ def test_embedding_near_dup_lsh_subset_of_exact(spark):
         assert len(lsh) / len(exact) >= 0.2  # candidate recall floor
 
 
+def test_minhash_verify_modes_identical(spark):
+    """Exploded-join Jaccard verify (the at-scale shape) must emit the
+    exact same pairs AND values as the array formulation."""
+    from lazyosm_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    arr = minhash_lsh_pairs(docs, jaccard_threshold=0.12, verify="array")
+    exp = minhash_lsh_pairs(docs, jaccard_threshold=0.12, verify="exploded")
+    assert arr.exceptAll(exp).count() == 0
+    assert exp.exceptAll(arr).count() == 0
+    assert exp.count() > 0
+
+
+def test_simhash_vectorized_equals_expression(spark):
+    """The Arrow numpy simhash must be bit-identical to the JVM
+    expression twin (which is also the DuckDB oracle formula)."""
+    from lazyosm_spark.operators.dedup import simhash64, simhash64_expr
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # include degenerate texts: Spark split('', ' ') -> [''] semantics
+    extra = spark.createDataFrame(
+        [(100001, ""), (100002, "   "), (100003, "one"), (100004, "a b a b a")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    fast = {r["doc_id"]: r["simhash"] for r in simhash64(both).collect()}
+    slow = {r["doc_id"]: r["simhash"] for r in simhash64_expr(both).collect()}
+    assert fast == slow
+
+
+def test_simhash_near_pairs_exact_pigeonhole(spark):
+    """With derived n_blocks = max_hamming + 1 the banded join finds
+    EVERY pair within max_hamming (recall 1) — checked against a plain
+    all-pairs bit_count."""
+    from pyspark.sql import functions as F
+
+    from lazyosm_spark.operators.dedup import simhash64, simhash_near_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sims = simhash64(docs)
+    a = sims.selectExpr("doc_id as doc_id_a", "simhash as sa")
+    b = sims.selectExpr("doc_id as doc_id_b", "simhash as sb")
+    brute = {
+        (r["doc_id_a"], r["doc_id_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 12)
+        .collect()
+    }
+    banded = {
+        (r["doc_id_a"], r["doc_id_b"], r["hamming"])
+        for r in simhash_near_pairs(docs, max_hamming=12).collect()
+    }
+    assert banded == brute
+
+
 def test_minhash_lsh_recall_vs_exact(spark):
     from lazyosm_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 

@@ -47,10 +47,13 @@ def golden_features(world) -> pd.DataFrame:
             continue
         members = {"outer": [], "inner": []}
         for mid, role in zip(rel["memids"], rel["roles"]):
+            if role not in members:
+                continue  # reference drops non-inner/outer roles
+                # (relation_handler.go:430-435)
             if mid in ways:
                 line = [nodes[n] for n in ways[mid] if n in nodes]
                 if len(line) >= 2:
-                    members[role if role in members else "outer"].append(line)
+                    members[role].append(line)
         outers = [
             [(ro.round_ref(x), ro.round_ref(y)) for x, y in r]
             for r in ro.connect(members["outer"])
@@ -65,8 +68,104 @@ def golden_features(world) -> pd.DataFrame:
                 osm_id=int(rel["id"]),
                 geom_type="Polygon" if len(polys) == 1 else "MultiPolygon",
                 coords=[[[list(pt) for pt in ring] for ring in p] for p in polys],
+                n_outers=len(outers),
+                n_inners=len(inners),
             )
         )
+    return pd.DataFrame(rows)
+
+
+def golden_way_features(world) -> pd.DataFrame:
+    """Way classify per reference process.go:59-74: closed ring AND
+    tags['area'] != 'no' -> Polygon, else LineString (straight-loop
+    independent twin of operators/osm.way_features)."""
+    nodes = {r["id"]: (r["lon"], r["lat"]) for _, r in world["nodes"].iterrows()}
+    rows = []
+    for _, w in world["ways"].iterrows():
+        line = [nodes[r] for r in w["refs"] if r in nodes]
+        if not line:
+            continue
+        closed = line[0] == line[-1]
+        area_no = dict(w["tags"]).get("area", "") == "no"
+        rows.append(
+            dict(
+                osm_id=int(w["id"]),
+                geom_type="Polygon" if (closed and not area_no) else "LineString",
+            )
+        )
+    return pd.DataFrame(rows)
+
+
+def golden_block_multipoints(world, npb: int) -> pd.DataFrame:
+    """Per-block count + bbox, with the same id-sorted block assignment
+    the encoder uses (sources/fixtures.encode_nodes)."""
+    nodes = world["nodes"].sort_values("id").reset_index(drop=True)
+    nodes = nodes.assign(block_id=(np.arange(len(nodes)) // npb).astype(np.int64))
+    g = nodes.groupby("block_id")
+    return pd.DataFrame(
+        dict(
+            block_id=g.size().index.to_numpy(np.int64),
+            n_points=g.size().to_numpy(np.int64),
+            w=g["lon"].min().to_numpy(np.float64),
+            s=g["lat"].min().to_numpy(np.float64),
+            e=g["lon"].max().to_numpy(np.float64),
+            n=g["lat"].max().to_numpy(np.float64),
+        )
+    )
+
+
+def golden_world_counts(world) -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            dict(
+                n_nodes=np.int64(len(world["nodes"])),
+                n_ways=np.int64(len(world["ways"])),
+                n_relations=np.int64(len(world["relations"])),
+            )
+        ]
+    )
+
+
+def golden_phash(scale: str) -> pd.DataFrame:
+    """(image_id, phash) of the fixture image set — the shared input of
+    the phash-Hamming kNN whose top-k the DuckDB oracle brute-forces."""
+    n = SCALES[scale]["n_images"]
+    wl, hl = [16, 32, 64], [16, 32, 48]
+    rows = []
+    for i in range(n):
+        px = im.reference_pixels(i, wl[i % 3], hl[i % 3])
+        rows.append(
+            dict(image_id=f"img_{i:012d}", phash=np.int64(im.average_phash(px)))
+        )
+    return pd.DataFrame(rows)
+
+
+def golden_doc_tile_membership(documents_parquet: str) -> pd.DataFrame:
+    """Doc-point x fixture-tile membership via the scalar-oracle PIP —
+    the independent twin of the streaming/batch tiling over the driver
+    testdata's documents table."""
+    doc_ids = pd.read_parquet(documents_parquet, columns=["doc_id"])["doc_id"].to_numpy(
+        np.float64
+    )
+    from lazyosm_spark.sources.fixtures import PHI, PHI2
+
+    lon = -180.0 + 360.0 * (doc_ids * PHI - np.floor(doc_ids * PHI))
+    lat = -85.0 + 170.0 * (doc_ids * PHI2 - np.floor(doc_ids * PHI2))
+    tiles = gen_tiles()
+    rows = []
+    for _, t in tiles.iterrows():
+        ring = [tuple(p) for p in t["ring"]]
+        if ring[0] == ring[-1]:
+            ring = ring[:-1]
+        for i in range(len(doc_ids)):
+            if ro.pip(ring, (float(lon[i]), float(lat[i]))):
+                rows.append(
+                    dict(
+                        doc_id=np.int64(doc_ids[i]),
+                        tile_id=np.int64(t["tile_id"]),
+                        resolution=np.int64(t["resolution"]),
+                    )
+                )
     return pd.DataFrame(rows)
 
 
@@ -148,5 +247,48 @@ def make(scale: str = "tiny") -> str:
     return out
 
 
+DRIVER_ARTIFACT_DIR = "/root/repo/tests/golden_driver"
+
+
+def make_driver_artifacts(
+    scale: str = "small", sf_dir: str = "/root/testdata/sf0.01"
+) -> str:
+    """Materialize the COMMITTED oracle artifacts the driver-contract
+    fixture queries compare against (plans/driver_queries.py reads them
+    via DuckDB read_parquet).  'small' is the fixture scale the driver's
+    sf0.01 run maps to (_fixture_scale); regenerate + commit after any
+    fixture/geometry change:  python tools/make_golden.py driver
+    """
+    out = DRIVER_ARTIFACT_DIR
+    os.makedirs(out, exist_ok=True)
+    world = build_world(scale)
+    golden_features(world)[["osm_id", "geom_type", "n_outers", "n_inners"]].to_parquet(
+        os.path.join(out, "relation_features_small.parquet")
+    )
+    golden_way_features(world).to_parquet(
+        os.path.join(out, "way_features_small.parquet")
+    )
+    golden_block_multipoints(world, SCALES[scale]["npb"]).to_parquet(
+        os.path.join(out, "block_multipoints_small.parquet")
+    )
+    golden_world_counts(world).to_parquet(
+        os.path.join(out, "world_counts_small.parquet")
+    )
+    golden_tile_membership(scale).to_parquet(
+        os.path.join(out, "tile_membership_small.parquet")
+    )
+    golden_roundtrip_images(scale).to_parquet(
+        os.path.join(out, "roundtrip_images_small.parquet")
+    )
+    golden_phash(scale).to_parquet(os.path.join(out, "phash_small.parquet"))
+    golden_doc_tile_membership(os.path.join(sf_dir, "documents.parquet")).to_parquet(
+        os.path.join(out, "doc_tile_membership_sf001.parquet")
+    )
+    return out
+
+
 if __name__ == "__main__":
-    print(make(sys.argv[1] if len(sys.argv) > 1 else "tiny"))
+    if len(sys.argv) > 1 and sys.argv[1] == "driver":
+        print(make_driver_artifacts())
+    else:
+        print(make(sys.argv[1] if len(sys.argv) > 1 else "tiny"))
