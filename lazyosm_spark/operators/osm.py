@@ -50,12 +50,20 @@ def decode_nodes(nodes_encoded: DataFrame, prune_tagless_blocks: bool = False) -
     ``prune_tagless_blocks`` applies the TagsBool zone-map filter
     (densenode.go:274-278 / process.go:283) BEFORE decode — with
     parquet min/max stats on has_tags this prunes whole row groups.
+
+    Honors per-block granularity / lat_offset / lon_offset columns when
+    the source carries them (PBF blocks, process.go:121-123,136-137:
+    deg = 1e-9 * (offset + granularity * q)); sources without the
+    columns (fixture tables) use the osmformat defaults 100/0/0.
     """
     df = nodes_encoded
     if prune_tagless_blocks:
         df = df.filter(F.col("has_tags"))
+    per_block = "granularity" in df.columns
+    gran_cols = ["granularity", "lat_offset", "lon_offset"] if per_block else []
     z = df.select(
         "block_id",
+        *gran_cols,
         F.explode(
             F.arrays_zip(
                 delta_decode("ids_delta").alias("id"),
@@ -65,10 +73,19 @@ def decode_nodes(nodes_encoded: DataFrame, prune_tagless_blocks: bool = False) -
             )
         ).alias("n"),
     )
+    if per_block:
+        scale = lambda q, off: (  # noqa: E731
+            off.cast("double") + F.col("granularity").cast("double") * q.cast("double")
+        ) * F.lit(1e-9)
+        lon = scale(F.col("n.qlon"), F.col("lon_offset"))
+        lat = scale(F.col("n.qlat"), F.col("lat_offset"))
+    else:
+        lon = scale_coord(F.col("n.qlon"))
+        lat = scale_coord(F.col("n.qlat"))
     return z.select(
         F.col("n.id").alias("id"),
-        scale_coord(F.col("n.qlon")).alias("lon"),
-        scale_coord(F.col("n.qlat")).alias("lat"),
+        lon.alias("lon"),
+        lat.alias("lat"),
         F.col("n.tags").alias("tags"),
         "block_id",
     )

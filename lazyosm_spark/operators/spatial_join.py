@@ -67,6 +67,7 @@ def tile_points(
     lon: str = "lon",
     lat: str = "lat",
     salt: int | None = None,
+    broadcast_limit: int = 200_000,
 ) -> DataFrame:
     """points(point_id, lon, lat) × tiles(tile_id, resolution, ring)
     -> exact membership (point_id, tile_id, resolution).
@@ -80,13 +81,18 @@ def tile_points(
     tile's batch slice in one numpy call.  Every stage is map-side;
     AQE/salting is unnecessary because no shuffle exists to skew.
 
-    Use tile_points_shuffle for tile sets too large to broadcast
-    (>~1M tiles).  ``tile_id`` must be unique (it is the key).
+    AUTO-DISPATCH: a tile set above ``broadcast_limit`` rows would OOM
+    the driver collect, so it falls through to tile_points_shuffle
+    (identical output, rings stay distributed) instead of leaving the
+    caller a footgun.  ``tile_id`` must be unique (it is the key).
 
     Ring vertex-on-boundary semantics are the reference Pip's (bottom/
     left inclusive, top/right exclusive) — golden fixtures pin them.
     """
     import numpy as np  # local for the closure
+
+    if tiles.count() > broadcast_limit:
+        return tile_points_shuffle(points, tiles, point_id, lon, lat, salt)
 
     tile_rows = tiles.select("tile_id", "resolution", "ring").collect()
     res_list = sorted({int(r["resolution"]) for r in tile_rows})

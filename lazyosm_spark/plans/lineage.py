@@ -127,11 +127,19 @@ class CheckpointedPipeline:
             # job 2 (cache-served): co-locate each bucket into one task
             # BEFORE the partitioned write — otherwise every task writes
             # a sliver of every bucket (tasks x buckets tiny files,
-            # measured 10x slowdown).  Data lands before lineage: a
-            # crash between the two re-runs, never skips.
-            pending.repartition(F.col("bucket")).write.mode("append").partitionBy(
-                "bucket"
-            ).parquet(self._data_path(stage))
+            # measured 10x slowdown).  Data lands before lineage, and
+            # the write is a DYNAMIC partition overwrite of exactly the
+            # pending bucket=<b> dirs: a crash between the data commit
+            # and the lineage write leaves orphan buckets that the
+            # re-run REPLACES instead of double-appending (a blind
+            # append here re-runs *and duplicates*).
+            (
+                pending.repartition(F.col("bucket"))
+                .write.option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(self._data_path(stage))
+            )
             commit_seq = self._next_commit_seq(stage)
             lineage = (
                 self.spark.createDataFrame(lineage_rows)

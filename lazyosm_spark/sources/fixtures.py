@@ -469,7 +469,22 @@ def fixtures_dir(scale: str = "small", base: str | None = None) -> str:
     )
     write("nodes_encoded", encode_nodes(nodes, cfg["npb"]))
     write("ways_encoded", encode_ways(world["ways"], cfg["wpb"]))
-    write("relations_encoded", encode_relations(world["relations"]))
+    # explicit map schema: inferred pandas dicts become a struct of the
+    # union of keys, which poisons unions with the map-typed way/node
+    # feature tables (and diverges from pbf.REL_BLOCK_SCHEMA)
+    write(
+        "relations_encoded",
+        encode_relations(world["relations"]),
+        pa.schema(
+            [
+                ("id", pa.int64()),
+                ("memids_delta", pa.list_(pa.int64())),
+                ("roles", pa.list_(pa.string())),
+                ("member_types", pa.list_(pa.int32())),
+                ("tags", pa.map_(pa.string(), pa.string())),
+            ]
+        ),
+    )
     write("images", gen_images(cfg["n_images"]))
     write("tiles", gen_tiles())
     with open(marker, "w") as f:

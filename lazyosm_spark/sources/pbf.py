@@ -166,23 +166,81 @@ def _stringtable(strings: list[str]) -> bytes:
     return b"".join(_field(1, 2, s.encode("utf-8")) for s in strings)
 
 
+def _header_block(
+    required_features=("OsmSchema-V0.6", "DenseNodes"),
+    optional_features=(),
+    bbox: tuple[float, float, float, float] | None = None,
+    writing_program: str | None = None,
+    source: str | None = None,
+    replication_ts: int | None = None,
+    replication_seq: int | None = None,
+    replication_url: str | None = None,
+) -> bytes:
+    """HeaderBlock wire encode (osmformat.pb.go:61-74): bbox nanodegree
+    zigzag64 (fields 1-4 of HeaderBBox), feature strings, replication
+    metadata."""
+    out = b""
+    if bbox is not None:
+        w, s, e, n = bbox  # degrees -> nanodegrees (1e-9 units)
+        bb = b"".join(
+            _field(tag, 0, encode_svarints([int(round(v * 1e9))]))
+            for tag, v in ((1, w), (2, e), (3, n), (4, s))
+        )
+        out += _field(1, 2, bb)
+    for f in required_features:
+        out += _field(4, 2, f.encode())
+    for f in optional_features:
+        out += _field(5, 2, f.encode())
+    if writing_program:
+        out += _field(16, 2, writing_program.encode())
+    if source:
+        out += _field(17, 2, source.encode())
+    if replication_ts is not None:
+        out += _field(32, 0, encode_varints([replication_ts]))
+    if replication_seq is not None:
+        out += _field(33, 0, encode_varints([replication_seq]))
+    if replication_url:
+        out += _field(34, 2, replication_url.encode())
+    return out
+
+
 def write_pbf_shard(
     path: str,
     nodes: pd.DataFrame | None = None,
     ways: pd.DataFrame | None = None,
     relations: pd.DataFrame | None = None,
     block_size: int = 8000,
+    granularity: int = 100,
+    lat_offset: int = 0,
+    lon_offset: int = 0,
+    plain_nodes: pd.DataFrame | None = None,
+    **header_kwargs,
 ) -> None:
     """Write decoded entities as a real .osm.pbf shard (DenseNodes /
     Ways / Relations, zlib blobs, delta-coded, per-block stringtable).
 
-    nodes:     (id, qlon, qlat, tags dict)  [quantized 100-nanodeg ints]
-    ways:      (id, refs list, tags dict)
-    relations: (id, memids, roles, member_types, tags)
+    nodes:       (id, qlon, qlat, tags dict) [ints in ``granularity``
+                 nanodeg units relative to lat/lon_offset — decoded as
+                 1e-9*(offset + granularity*q), process.go:136-137]
+    plain_nodes: same shape, emitted as a NON-dense ``Nodes`` primitive
+                 group (osmformat.pb.go Node, fields 1/2/3/8/9) — rare
+                 in the wild but spec-legal
+    ways:        (id, refs list, tags dict)
+    relations:   (id, memids, roles, member_types, tags)
+    header_kwargs: see _header_block (bbox, required_features, ...)
     """
     out = bytearray()
-    header = _field(4, 2, b"OsmSchema-V0.6") + _field(4, 2, b"DenseNodes")
-    out += _fileblock("OSMHeader", header)
+    out += _fileblock("OSMHeader", _header_block(**header_kwargs))
+
+    def _gran_fields() -> bytes:
+        g = b""
+        if granularity != 100:
+            g += _field(17, 0, encode_varints([granularity]))
+        if lat_offset != 0:  # int64 varint: mask negatives to 64 bits
+            g += _field(19, 0, encode_varints([lat_offset & ((1 << 64) - 1)]))
+        if lon_offset != 0:
+            g += _field(20, 0, encode_varints([lon_offset & ((1 << 64) - 1)]))
+        return g
 
     def st_builder():
         st = [""]
@@ -217,7 +275,26 @@ def write_pbf_shard(
                 + _field(10, 2, encode_varints(kv))
             )
             group = _field(2, 2, dense)
-            block = _field(1, 2, _stringtable(st)) + _field(2, 2, group)
+            block = _field(1, 2, _stringtable(st)) + _field(2, 2, group) + _gran_fields()
+            out += _fileblock("OSMData", block)
+
+    if plain_nodes is not None and len(plain_nodes):
+        plain_nodes = plain_nodes.sort_values("id")
+        for b in range(0, len(plain_nodes), block_size):
+            blk = plain_nodes.iloc[b : b + block_size]
+            st, sid = st_builder()
+            nmsgs = []
+            for row in blk.itertuples(index=False):
+                n = (
+                    _field(1, 0, encode_svarints([row.id]))  # id: zigzag64
+                    + _field(2, 2, encode_varints([sid(k) for k in row.tags]))
+                    + _field(3, 2, encode_varints([sid(v) for v in row.tags.values()]))
+                    + _field(8, 0, encode_svarints([row.qlat]))
+                    + _field(9, 0, encode_svarints([row.qlon]))
+                )
+                nmsgs.append(_field(1, 2, n))  # PrimitiveGroup.nodes = 1
+            group = b"".join(nmsgs)
+            block = _field(1, 2, _stringtable(st)) + _field(2, 2, group) + _gran_fields()
             out += _fileblock("OSMData", block)
 
     if ways is not None and len(ways):
@@ -269,8 +346,65 @@ def write_pbf_shard(
 NODE_BLOCK_SCHEMA = (
     "block_id int, ids_delta array<long>, lon_delta array<long>, "
     "lat_delta array<long>, keys_vals array<int>, stringtable array<string>, "
-    "min_id long, max_id long, has_tags boolean"
+    "min_id long, max_id long, has_tags boolean, "
+    "granularity int, lat_offset long, lon_offset long"
 )
+HEADER_SCHEMA = (
+    "path string, bbox_w double, bbox_s double, bbox_e double, bbox_n double, "
+    "required_features array<string>, optional_features array<string>, "
+    "writing_program string, source string, replication_ts long, "
+    "replication_seq long, replication_url string"
+)
+
+# the reader's parse capabilities — an OSMHeader whose required_features
+# include anything else is REJECTED, mirroring top_level.go:36-41,340-345
+PARSE_CAPABILITIES = frozenset(
+    {"OsmSchema-V0.6", "DenseNodes", "HistoricalInformation"}
+)
+
+
+def decode_osm_header(raw: bytes, path: str = "") -> dict:
+    """HeaderBlock decode (top_level.go:328-373): bbox x1e-9 nanodegree
+    (NOT granularity-scaled), required-feature capability check
+    (fail-fast on unsupported, :340-345), replication metadata."""
+    hdr = dict(
+        path=path, bbox_w=None, bbox_s=None, bbox_e=None, bbox_n=None,
+        required_features=[], optional_features=[], writing_program=None,
+        source=None, replication_ts=None, replication_seq=None,
+        replication_url=None,
+    )
+    for tag, wire, val in _msg_fields(memoryview(raw)):
+        if tag == 1 and wire == 2:  # HeaderBBox: left/right/top/bottom zigzag64
+            bb = {t: v for t, _w, v in _msg_fields(memoryview(val)) if _w == 0}
+            zz = lambda u: (u >> 1) ^ -(u & 1)  # noqa: E731
+            if 1 in bb:
+                hdr["bbox_w"] = 1e-9 * zz(bb[1])
+            if 2 in bb:
+                hdr["bbox_e"] = 1e-9 * zz(bb[2])
+            if 3 in bb:
+                hdr["bbox_n"] = 1e-9 * zz(bb[3])
+            if 4 in bb:
+                hdr["bbox_s"] = 1e-9 * zz(bb[4])
+        elif tag == 4 and wire == 2:
+            hdr["required_features"].append(val.decode())
+        elif tag == 5 and wire == 2:
+            hdr["optional_features"].append(val.decode())
+        elif tag == 16 and wire == 2:
+            hdr["writing_program"] = val.decode()
+        elif tag == 17 and wire == 2:
+            hdr["source"] = val.decode()
+        elif tag == 32 and wire == 0:
+            hdr["replication_ts"] = val
+        elif tag == 33 and wire == 0:
+            hdr["replication_seq"] = val
+        elif tag == 34 and wire == 2:
+            hdr["replication_url"] = val.decode()
+    unsupported = [f for f in hdr["required_features"] if f not in PARSE_CAPABILITIES]
+    if unsupported:
+        raise ValueError(
+            f"parser does not have {unsupported[0]} capability"  # top_level.go:342
+        )
+    return hdr
 WAY_BLOCK_SCHEMA = (
     "block_id int, id long, refs_delta array<long>, keys array<int>, "
     "vals array<int>, stringtable array<string>"
@@ -314,10 +448,18 @@ def _iter_fileblocks(content: bytes):
 
 
 def _parse_primitive_block(raw: bytes):
-    """-> (stringtable, groups) where groups is a list of
-    (kind, payload) with kind in {'dense','way','relation'}."""
+    """-> (stringtable, groups, granularity, lat_offset, lon_offset)
+    where groups is a list of (kind, payload) with kind in
+    {'node','dense','way','relation'}.  Group classification mirrors
+    primitiveblock.go:95-110 (field 1 = plain Nodes, 2 = DenseNodes,
+    3 = Ways, 4 = Relations, 5 = Changesets); Changesets are classified
+    and skipped like the reference (it catalogs them but never
+    processes, top_level.go:203-214).  granularity/lat/lon offsets are
+    per-block fields 17/19/20 with osmformat defaults 100/0/0
+    (process.go:121-123)."""
     st: list[str] = []
     groups = []
+    granularity, lat_offset, lon_offset = 100, 0, 0
     for tag, wire, val in _msg_fields(memoryview(raw)):
         if tag == 1 and wire == 2:  # stringtable
             st = [
@@ -327,23 +469,61 @@ def _parse_primitive_block(raw: bytes):
             ]
         elif tag == 2 and wire == 2:  # primitivegroup
             for t2, w2, v in _msg_fields(memoryview(val)):
-                if t2 == 2 and w2 == 2:
+                if t2 == 1 and w2 == 2:
+                    groups.append(("node", v))
+                elif t2 == 2 and w2 == 2:
                     groups.append(("dense", v))
                 elif t2 == 3 and w2 == 2:
                     groups.append(("way", v))
                 elif t2 == 4 and w2 == 2:
                     groups.append(("relation", v))
-    return st, groups
+                elif t2 == 5 and w2 == 2:
+                    pass  # Changesets: classified, never decoded
+        elif tag == 17 and wire == 0:
+            granularity = val
+        elif tag == 19 and wire == 0:  # int64 varint (two's complement)
+            lat_offset = val - (1 << 64) if val >= 1 << 63 else val
+        elif tag == 20 and wire == 0:
+            lon_offset = val - (1 << 64) if val >= 1 << 63 else val
+    return st, groups, granularity, lat_offset, lon_offset
 
 
-def parse_pbf_bytes(content: bytes):
-    """One shard's bytes -> dict of block-row lists (fixture schemas)."""
-    node_rows, way_rows, rel_rows = [], [], []
+def parse_pbf_bytes(content: bytes, path: str = ""):
+    """One shard's bytes -> (node_rows, way_rows, rel_rows, header_rows)
+    of block-row dicts (fixture schemas).  The OSMHeader block is
+    DECODED (not skipped): bbox/features/replication become header rows
+    and an unsupported required feature raises immediately
+    (top_level.go:340-345)."""
+    node_rows, way_rows, rel_rows, header_rows = [], [], [], []
     block_id = 0
+
+    def _node_row(ids_d, lon_d, lat_d, kv):
+        ids = np.cumsum(ids_d)
+        return dict(
+            block_id=block_id,
+            ids_delta=ids_d.tolist(),
+            lon_delta=lon_d.tolist(),
+            lat_delta=lat_d.tolist(),
+            keys_vals=kv.astype(np.int32).tolist(),
+            stringtable=st,
+            min_id=int(ids.min()) if ids.size else 0,
+            max_id=int(ids.max()) if ids.size else 0,
+            has_tags=bool((kv != 0).any()),
+            granularity=int(gran),
+            lat_offset=int(lat_off),
+            lon_offset=int(lon_off),
+        )
+
     for kind, raw in _iter_fileblocks(content):
-        if kind != "OSMData" or raw is None:
+        if raw is None:
             continue
-        st, groups = _parse_primitive_block(raw)
+        if kind == "OSMHeader":
+            header_rows.append(decode_osm_header(raw, path))
+            continue
+        if kind != "OSMData":
+            continue
+        st, groups, gran, lat_off, lon_off = _parse_primitive_block(raw)
+        plain: dict | None = None
         for gkind, payload in groups:
             if gkind == "dense":
                 ids_d = lat_d = lon_d = np.array([], dtype=np.int64)
@@ -357,20 +537,34 @@ def parse_pbf_bytes(content: bytes):
                         lon_d = decode_svarints_np(val)
                     elif tag == 10:
                         kv = decode_varints_np(val)
-                ids = np.cumsum(ids_d)
-                node_rows.append(
-                    dict(
-                        block_id=block_id,
-                        ids_delta=ids_d.tolist(),
-                        lon_delta=lon_d.tolist(),
-                        lat_delta=lat_d.tolist(),
-                        keys_vals=kv.astype(np.int32).tolist(),
-                        stringtable=st,
-                        min_id=int(ids.min()) if ids.size else 0,
-                        max_id=int(ids.max()) if ids.size else 0,
-                        has_tags=bool((kv != 0).any()),
-                    )
-                )
+                node_rows.append(_node_row(ids_d, lon_d, lat_d, kv))
+            elif gkind == "node":
+                # plain (non-dense) Nodes group: one Node message per
+                # entity (osmformat.pb.go:462-470: id/keys/vals zigzag
+                # lat/lon), normalized into the dense block layout so
+                # decode_nodes runs unchanged on both
+                if plain is None:
+                    plain = dict(ids=[], qlats=[], qlons=[], kv=[])
+                nid = qlat = qlon = 0
+                keys = vals = np.array([], dtype=np.int64)
+                for tag, wire, val in _msg_fields(memoryview(payload)):
+                    if tag == 1 and wire == 0:
+                        nid = (val >> 1) ^ -(val & 1)  # zigzag64
+                    elif tag == 2:
+                        keys = decode_varints_np(val)
+                    elif tag == 3:
+                        vals = decode_varints_np(val)
+                    elif tag == 8 and wire == 0:
+                        qlat = (val >> 1) ^ -(val & 1)
+                    elif tag == 9 and wire == 0:
+                        qlon = (val >> 1) ^ -(val & 1)
+                plain["ids"].append(nid)
+                plain["qlats"].append(qlat)
+                plain["qlons"].append(qlon)
+                for k, v in zip(keys, vals):
+                    plain["kv"].append(int(k))
+                    plain["kv"].append(int(v))
+                plain["kv"].append(0)
             elif gkind == "way":
                 wid = 0
                 keys = vals = np.array([], dtype=np.int64)
@@ -420,8 +614,18 @@ def parse_pbf_bytes(content: bytes):
                         tags={st[k]: st[v] for k, v in zip(keys, vals)},
                     )
                 )
+        if plain is not None:
+            ids = np.asarray(plain["ids"], dtype=np.int64)
+            node_rows.append(
+                _node_row(
+                    np.diff(ids, prepend=0),
+                    np.diff(np.asarray(plain["qlons"], dtype=np.int64), prepend=0),
+                    np.diff(np.asarray(plain["qlats"], dtype=np.int64), prepend=0),
+                    np.asarray(plain["kv"], dtype=np.int64),
+                )
+            )
         block_id += 1
-    return node_rows, way_rows, rel_rows
+    return node_rows, way_rows, rel_rows, header_rows
 
 
 def read_pbf(spark, path_glob: str):
@@ -435,12 +639,28 @@ def read_pbf(spark, path_glob: str):
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
-                rows.extend(parse_pbf_bytes(bytes(r.content))[0])
+                rows.extend(parse_pbf_bytes(bytes(r.content), str(r.path))[0])
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "block_id", "ids_delta", "lon_delta", "lat_delta",
                     "keys_vals", "stringtable", "min_id", "max_id", "has_tags",
+                    "granularity", "lat_offset", "lon_offset",
+                ],
+            )
+
+    def parse_headers(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rows.extend(parse_pbf_bytes(bytes(r.content), str(r.path))[3])
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "bbox_w", "bbox_s", "bbox_e", "bbox_n",
+                    "required_features", "optional_features", "writing_program",
+                    "source", "replication_ts", "replication_seq",
+                    "replication_url",
                 ],
             )
 
@@ -468,4 +688,5 @@ def read_pbf(spark, path_glob: str):
         "nodes_encoded": files.mapInPandas(parse_nodes, NODE_BLOCK_SCHEMA),
         "ways_encoded": files.mapInPandas(parse_ways, WAY_BLOCK_SCHEMA),
         "relations_encoded": files.mapInPandas(parse_rels, REL_BLOCK_SCHEMA),
+        "header": files.mapInPandas(parse_headers, HEADER_SCHEMA),
     }

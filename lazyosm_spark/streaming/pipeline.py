@@ -7,8 +7,10 @@ exposes two streaming operators:
 - stream_tile_points: micro-batch spatial join via foreachBatch — each
   arriving batch of image points is tiled with the SAME batch operator
   (operators/spatial_join.tile_points), so batch and streaming results
-  are identical by construction.  Checkpointing gives exactly-once
-  sink appends.
+  are identical by construction.  The sink write is an idempotent
+  dynamic overwrite of the epoch=<id> partition, so checkpoint-replayed
+  epochs produce exactly-once output (a blind append would be
+  at-least-once).
 - windowed_event_counts: watermarked sliding-window aggregation (the
   canonical late-data-tolerant rollup, e.g. per-tile ingest rates).
 
@@ -45,8 +47,16 @@ def stream_tile_points(
         if batch_df.isEmpty():
             return
         membership = tile_points(batch_df, tiles, salt=salt)
-        membership.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
-            output_dir
+        # foreachBatch replays an epoch whose write finished but whose
+        # checkpoint commit didn't — a blind append would duplicate it
+        # (at-least-once).  Overwriting exactly the epoch=<id> partition
+        # makes the replay idempotent: effectively exactly-once output.
+        (
+            membership.withColumn("epoch", F.lit(epoch_id))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("epoch")
+            .parquet(output_dir)
         )
 
     return (

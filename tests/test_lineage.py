@@ -42,6 +42,32 @@ def test_stage_resume_no_duplicates(spark):
         assert pipe.verify_stage("s1")
 
 
+def test_crash_between_data_and_lineage_does_not_duplicate(spark):
+    """Simulated crash: data for some buckets committed but the lineage
+    write never happened.  The re-run must REPLACE those orphan buckets
+    (dynamic partition overwrite), not double-append them."""
+    import shutil
+
+    from lazyosm_spark.plans.lineage import CheckpointedPipeline
+
+    with tempfile.TemporaryDirectory() as root:
+        pipe = CheckpointedPipeline(spark, root, n_buckets=16)
+        df = _input(spark)
+
+        pipe.run_stage("s1", df, key_col="k")
+        # crash simulation: lineage + snapshot log vanish, data survives
+        shutil.rmtree(f"{root}/_lineage/s1")
+        import os
+
+        os.remove(f"{root}/_snapshots.jsonl")
+        assert pipe.completed_buckets("s1").count() == 0
+
+        out = pipe.run_stage("s1", df, key_col="k")
+        assert out.count() == 1000  # a blind append would give 2000
+        assert out.select("k").distinct().count() == 1000
+        assert pipe.verify_stage("s1")
+
+
 def test_checksum_detects_corruption(spark):
     from lazyosm_spark.plans.lineage import CheckpointedPipeline, lineage_of
 

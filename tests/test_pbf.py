@@ -96,6 +96,96 @@ def test_pbf_roundtrip_matches_world(spark):
             )
 
 
+def test_pbf_plain_nodes_and_granularity(spark):
+    """Non-dense ``Nodes`` groups (primitiveblock.go:95-110) and
+    non-default granularity/offsets (process.go:121-123) must decode to
+    the same coordinates the reference formula produces."""
+    from lazyosm_spark.operators.osm import decode_nodes
+
+    gran, lat_off, lon_off = 200, 5000, -3000
+    rows = [
+        (10, 123456, -654321, {"name": "a", "highway": "primary"}),
+        (11, -1, 1, {}),
+        (12, 999999, 888888, {"building": "yes"}),
+    ]
+    pdf = pd.DataFrame(rows, columns=["id", "qlon", "qlat", "tags"])
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "plain.osm.pbf")
+        pbf.write_pbf_shard(
+            path,
+            plain_nodes=pdf,
+            granularity=gran,
+            lat_offset=lat_off,
+            lon_offset=lon_off,
+        )
+        enc = pbf.read_pbf(spark, path)
+        got = {r["id"]: r for r in decode_nodes(enc["nodes_encoded"]).collect()}
+        assert set(got) == {10, 11, 12}
+        for nid, qlon, qlat, tags in rows:
+            r = got[nid]
+            assert r["lon"] == 1e-9 * float(lon_off + gran * qlon), nid
+            assert r["lat"] == 1e-9 * float(lat_off + gran * qlat), nid
+            assert dict(r["tags"]) == tags
+
+        # a dense shard at non-default granularity decodes identically
+        path2 = os.path.join(d, "dense.osm.pbf")
+        pbf.write_pbf_shard(path2, nodes=pdf, granularity=gran,
+                            lat_offset=lat_off, lon_offset=lon_off)
+        got2 = {
+            r["id"]: r
+            for r in decode_nodes(pbf.read_pbf(spark, path2)["nodes_encoded"]).collect()
+        }
+        assert {k: (v["lon"], v["lat"]) for k, v in got.items()} == {
+            k: (v["lon"], v["lat"]) for k, v in got2.items()
+        }
+
+
+def test_pbf_header_roundtrip_and_capability_check(spark):
+    """OSMHeader decode (top_level.go:328-373): bbox x1e-9 round-trips,
+    replication metadata lands in the header table, and a shard whose
+    required_features include an unsupported one is REJECTED
+    (top_level.go:340-345)."""
+    import pytest
+
+    pdf = pd.DataFrame(
+        [(1, 100, 200, {})], columns=["id", "qlon", "qlat", "tags"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "h.osm.pbf")
+        pbf.write_pbf_shard(
+            path,
+            nodes=pdf,
+            bbox=(-10.5, -20.25, 30.75, 40.125),
+            writing_program="lazyosm_spark",
+            source="fixture",
+            replication_ts=1700000000,
+            replication_seq=42,
+            replication_url="https://example.org/replication",
+        )
+        hdr = pbf.read_pbf(spark, path)["header"].collect()
+        assert len(hdr) == 1
+        h = hdr[0]
+        # decode is 1e-9 * nanodeg (top_level.go:365-370) — bit-exact vs
+        # the same formula, not vs the pre-quantization float
+        exp = tuple(1e-9 * round(v * 1e9) for v in (-10.5, -20.25, 30.75, 40.125))
+        assert (h["bbox_w"], h["bbox_s"], h["bbox_e"], h["bbox_n"]) == exp
+        assert list(h["required_features"]) == ["OsmSchema-V0.6", "DenseNodes"]
+        assert h["writing_program"] == "lazyosm_spark"
+        assert h["replication_seq"] == 42 and h["replication_ts"] == 1700000000
+
+        bad = os.path.join(d, "bad.osm.pbf")
+        pbf.write_pbf_shard(
+            bad, nodes=pdf, required_features=("OsmSchema-V0.6", "Sort.Type_then_ID")
+        )
+        with pytest.raises(Exception, match="Sort.Type_then_ID"):
+            pbf.read_pbf(spark, bad)["nodes_encoded"].count()
+        # driver-side parse rejects identically (the reference's
+        # fail-fast shape)
+        with open(bad, "rb") as f:
+            with pytest.raises(ValueError, match="capability"):
+                pbf.parse_pbf_bytes(f.read())
+
+
 def test_pbf_tagless_block_flag(spark):
     from lazyosm_spark.sources.fixtures import build_world
 

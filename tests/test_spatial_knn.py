@@ -91,6 +91,37 @@ def test_tile_points_skewed_hotspot(spark, fx):
     assert hot_members >= 800
 
 
+def test_tile_points_auto_dispatches_to_shuffle(spark, fx):
+    """Above broadcast_limit the flagship must take the shuffle path
+    (no driver ring collect; grouped-refine Exchange in the plan) and
+    produce identical membership."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from lazyosm_spark.operators.spatial_join import tile_points
+
+    pts = spark.createDataFrame(
+        [(f"p{i}",
+          -180.0 + 360.0 * ((i * 0.7548776662466927) % 1.0),
+          -85.0 + 170.0 * ((i * 0.5698402909980532) % 1.0))
+         for i in range(300)],
+        "point_id string, lon double, lat double",
+    )
+    bc = tile_points(pts, fx["tiles"])  # broadcast path
+    sh = tile_points(pts, fx["tiles"], broadcast_limit=3)  # forced dispatch
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        sh.explain("formatted")
+    plan = buf.getvalue()
+    assert "FlatMapGroupsInPandas" in plan  # grouped refine, not collect
+    assert "Exchange" in plan
+    a = {tuple(r) for r in bc.select("point_id", "tile_id").collect()}
+    b = {tuple(r) for r in sh.select("point_id", "tile_id").collect()}
+    assert a == b and len(a) > 0
+
+
 def test_grid_knn_equals_bruteforce(spark):
     from lazyosm_spark.operators.knn import grid_knn, knn_brute
 

@@ -51,6 +51,22 @@ def test_stream_tile_points_equals_batch(spark, fx):
         }
         assert got == want
 
+        # epoch REPLAY (crash after sink write, before checkpoint
+        # commit): rerunning the same input with a fresh checkpoint
+        # replays epoch 0 — the dynamic epoch-partition overwrite must
+        # keep output exactly-once (a blind append would double it)
+        n_before = spark.read.parquet(out_dir).count()
+        q2 = stream_tile_points(
+            spark,
+            input_dir=in_dir + "/*",
+            input_schema="point_id string, lon double, lat double",
+            tiles=fx["tiles"],
+            output_dir=out_dir,
+            checkpoint_dir=os.path.join(d, "ck2"),
+        )
+        q2.awaitTermination(120)
+        assert spark.read.parquet(out_dir).count() == n_before
+
 
 def test_windowed_counts_batch_twin(spark):
     from lazyosm_spark.streaming.pipeline import windowed_event_counts
