@@ -97,7 +97,7 @@ def main() -> None:
             (F.lit(-180.0) + 360.0 * (i * phi - F.floor(i * phi))).alias("lon"),
             (F.lit(-85.0) + 170.0 * (i * phi2 - F.floor(i * phi2))).alias("lat"),
         )
-        return grid_knn(q, pts, k=5, res=7).count()
+        return grid_knn(q, pts, k=5).count()  # auto res from density
 
     timed("grid_knn", knn_run)
 

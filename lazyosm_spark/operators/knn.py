@@ -56,25 +56,46 @@ def grid_knn(
     queries: DataFrame,
     points: DataFrame,
     k: int,
-    res: int = 7,
-    start_ring: int = 2,
+    res: int | None = None,
+    start_ring: int = 1,
     level_step: int = 2,
+    target_candidates: int | None = None,
 ) -> DataFrame:
     """queries(query_id, lon, lat) × points(point_id, lon, lat) ->
     exact (query_id, neighbor_id, rank, dist).
+
+    ``res=None`` (default) picks the start resolution from point
+    density so the expected ring candidate count per query is about
+    ``target_candidates`` (default max(32, 4k)): the per-query window
+    top-k is the dominant cost and scales linearly with candidates, so
+    over-coarse cells waste a multiple of the whole runtime.  The
+    result is res-INVARIANT (exactness comes from the distance bound +
+    escalation), so this is pure plan tuning, like AQE picking
+    partition sizes from stats.
 
     Levels: resolution res, res-level_step, ... down to the first
     resolution whose grid the ring fully covers (the provably-exact
     terminal level).  No cross join at any level — the plan-audit
     (tools/explain_plans.py) asserts no CartesianProduct node.
     """
+    if res is None:
+        import math
+
+        n = points.count()
+        tc = target_candidates or max(32, 4 * k)
+        ring_cells = (2 * start_ring + 1) ** 2
+        # pts/cell = n / 4^res; solve ring_cells * pts/cell ~= tc
+        res = max(0, min(12, int(math.log2(max(n * ring_cells / tc, 1.0)) // 2)))
+    # ids keep their INPUT type: numeric ids sort/shuffle cheaper than
+    # their string casts in the top-k window; callers needing string
+    # tie-break semantics (e.g. the DuckDB-oracle twins) pre-cast.
     q = queries.select(
-        F.col("query_id").cast("string").alias("query_id"),
+        F.col("query_id"),
         F.col("lon").alias("qlon"),
         F.col("lat").alias("qlat"),
     )
     p = points.select(
-        F.col("point_id").cast("string").alias("neighbor_id"),
+        F.col("point_id").alias("neighbor_id"),
         F.col("lon").alias("plon"),
         F.col("lat").alias("plat"),
     )
@@ -115,27 +136,23 @@ def grid_knn(
                 ).alias("dist"),
             )
         )
-        scored = (
-            _topk(cand, k)
-            .withColumn("n", F.count("*").over(wq))
-            .withColumn("kth", F.max("dist").over(wq))
-        )
+        # single stats pass: kth = dist of the rank-k row (NULL when the
+        # query has < k candidates), so n==k and the distance bound are
+        # one window aggregate instead of two
+        kth = F.max(F.when(F.col("rank") == k, F.col("dist"))).over(wq)
+        scored = _topk(cand, k).withColumn("kth", kth)
         # at the terminal level the ring covers the whole grid, so the
         # top-k is exact regardless of the distance bound (and queries
         # with fewer than k reachable points emit what exists)
         ok = (
             scored
             if is_final
-            else scored.filter(
-                (F.col("n") == k) & (F.col("kth") <= F.lit(guarantee))
-            )
+            else scored.filter(F.col("kth") <= F.lit(guarantee))
         ).select("query_id", "neighbor_id", "rank", "dist").persist()
         done_parts.append(ok)
         if is_final:
             break
-        nxt = pending.join(
-            ok.select("query_id").distinct(), "query_id", "left_anti"
-        ).persist()
+        nxt = pending.join(ok.select("query_id"), "query_id", "left_anti").persist()
         # the ONE action per level: materializes `ok` into cache (it is
         # reused by the final union) and doubles as the emptiness probe
         # (a limit(1).count() probe would re-execute the whole upstream
@@ -154,12 +171,12 @@ def knn_brute(queries: DataFrame, points: DataFrame, k: int) -> DataFrame:
     """Reference-quality brute force (the oracle shape): cross join +
     window top-k.  Use only for verification / tiny query sets."""
     q = queries.select(
-        F.col("query_id").cast("string").alias("query_id"),
+        F.col("query_id"),
         F.col("lon").alias("qlon"),
         F.col("lat").alias("qlat"),
     )
     p = points.select(
-        F.col("point_id").cast("string").alias("neighbor_id"),
+        F.col("point_id").alias("neighbor_id"),
         F.col("lon").alias("plon"),
         F.col("lat").alias("plat"),
     )

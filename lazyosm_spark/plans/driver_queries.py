@@ -602,12 +602,14 @@ def q_grid_knn(spark, sf_dir):
     from lazyosm_spark.operators.knn import grid_knn
 
     pts = _doc_points(spark, sf_dir)
+    # ids pre-cast to string: the oracle breaks distance ties by the
+    # VARCHAR id ordering, so the engine must sort the same strings
     queries = pts.filter(F.col("doc_id") < 20).selectExpr(
-        "doc_id as query_id", "lon", "lat"
+        "cast(doc_id as string) as query_id", "lon", "lat"
     )
     # keep all points; ask for k=6 and drop the self pair afterwards to
     # mirror the oracle's p != q
-    points = pts.selectExpr("doc_id as point_id", "lon", "lat")
+    points = pts.selectExpr("cast(doc_id as string) as point_id", "lon", "lat")
     out = grid_knn(queries, points, k=6, res=5)
     out = out.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
@@ -1074,8 +1076,8 @@ def q_fx_grid_knn(spark, sf_dir):
     from lazyosm_spark.operators.knn import grid_knn
 
     pts = _doc_points(spark, sf_dir)
-    q = pts.selectExpr("doc_id as query_id", "lon", "lat")
-    p = pts.selectExpr("doc_id as point_id", "lon", "lat")
+    q = pts.selectExpr("cast(doc_id as string) as query_id", "lon", "lat")
+    p = pts.selectExpr("cast(doc_id as string) as point_id", "lon", "lat")
     out = grid_knn(q, p, k=4, res=6)
     return out.groupBy("query_id").agg(
         F.count("*").cast("long").alias("n"),
