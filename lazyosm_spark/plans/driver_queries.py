@@ -983,6 +983,44 @@ SELECT doc_id_a, doc_id_b, round(jac, 9) AS jaccard FROM j WHERE jac >= {thresho
 """
 
 
+def _components_sql(threshold: float = 0.12) -> str:
+    """Recursive-CTE reachability closure over the SAME minhash-LSH edge
+    set: component = min reachable doc — the independent oracle of the
+    engine's iterative min-label propagation."""
+    edges = _minhash_lsh_sql(threshold=threshold)
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_id_a AS a, doc_id_b AS b FROM ({edges})),
+und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT u.a, reach.r FROM reach JOIN und u ON u.b = reach.id
+)
+SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY id
+"""
+
+
+@_register("doc_dedup_components", _components_sql())
+def q_doc_components(spark, sf_dir):
+    """Transitive near-dup GROUPING: minhash-LSH pairs -> connected
+    components (iterative min-label propagation, operators/graph.py) —
+    the corpus-dedup step after pair generation.  Oracle: recursive-CTE
+    reachability closure over the identical edge set."""
+    from lazyosm_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.12).select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    )
+    out = connected_components(docs.select("doc_id"), edges, node_col="doc_id")
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 @_register_fixture("fx_minhash_lsh_pairs", _minhash_lsh_sql())
 def q_fx_lsh(spark, sf_dir):
     """Full LSH dedup pipeline (bands -> bucket join -> exploded-join
