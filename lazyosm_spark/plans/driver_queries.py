@@ -1507,6 +1507,39 @@ def q_fx_streaming(spark, sf_dir):
     )
 
 
+@_register_fixture("fx_streaming_sessionize", ORACLES["sessionize"])
+def q_fx_stream_sessionize(spark, sf_dir):
+    """Stateful streaming sessionization == the batch window query: the
+    events table arrives in two TIME-SPLIT waves (per-user order
+    preserved), sessions spanning the wave boundary carried by state —
+    checked against the same DuckDB oracle as the batch `sessionize`."""
+    import os as _os
+    import tempfile
+
+    from lazyosm_spark.streaming.pipeline import stream_sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    split = ev.agg(F.expr("percentile(unix_timestamp(ts), 0.5)")).first()[0]
+    d = tempfile.mkdtemp(prefix="ssess_q_")
+    ev.filter(F.unix_timestamp("ts") <= split).write.parquet(
+        _os.path.join(d, "in", "w1")
+    )
+    ev.filter(F.unix_timestamp("ts") > split).write.parquet(
+        _os.path.join(d, "in", "w2")
+    )
+    q = stream_sessionize(
+        spark,
+        _os.path.join(d, "in") + "/*",
+        "user_id long, event_id long, ts timestamp",
+        _os.path.join(d, "out"),
+        _os.path.join(d, "ck"),
+    )
+    q.awaitTermination(240)
+    return spark.read.parquet(_os.path.join(d, "out")).select(
+        "user_id", "event_id", "session_id"
+    )
+
+
 @_register_fixture(
     "fx_stateful_stream_dedup",
     f"""

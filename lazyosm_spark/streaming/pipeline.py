@@ -119,6 +119,78 @@ def _dedup_state_fn(key, pdfs, state):
     )
 
 
+SESSION_OUT_SCHEMA = "user_id long, event_id long, session_id long"
+SESSION_STATE_SCHEMA = "last_ts long, sess long"
+
+
+def _sessionize_state_fn_factory(gap_s: int):
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        last_ts, sess = state.get if state.exists else (None, 0)
+        # truncating unix seconds == the batch twin's unix_timestamp diff
+        ts_s = (rows["ts"].astype("int64") // 1_000_000_000).to_numpy()
+        out = []
+        for t in ts_s:
+            if last_ts is None or t - last_ts > gap_s:
+                sess += 1
+            out.append(sess)
+            last_ts = int(t)
+        state.update((last_ts, int(sess)))
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "user_id": int(key[0]),
+                        "event_id": rows["event_id"].to_numpy(),
+                        "session_id": out,
+                    }
+                )
+            ]
+        )
+
+    return fn
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    input_schema: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap_s: int = 3600,
+) -> StreamingQuery:
+    """Stateful streaming sessionization (applyInPandasWithState): per
+    user, events more than ``gap_s`` apart start a new session; state
+    carries (last_ts, session counter) across micro-batches, so a
+    session spanning two batches is NOT split.  Equal to the batch
+    `sessionize` window query whenever batches partition each user's
+    timeline in order (e.g. time-ordered file arrival) — the driver
+    query checks exactly that equality against the DuckDB oracle."""
+    stream = spark.readStream.schema(input_schema).parquet(input_dir)
+    out = (
+        stream.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_state_fn_factory(gap_s),
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_exact_dedup(
     spark: SparkSession,
     input_dir: str,

@@ -80,6 +80,69 @@ def test_windowed_counts_batch_twin(spark):
     assert bad == 0
 
 
+def test_stream_sessionize_state_spans_restarts(spark):
+    """Two availableNow RUNS over the same checkpoint: wave-2 events of
+    a session started in wave 1 must continue its session_id (state is
+    restored from the checkpoint, not reset).  Result equals the batch
+    window sessionization."""
+    from pyspark.sql import Window
+
+    from lazyosm_spark.streaming.pipeline import stream_sessionize
+
+    rows = []
+    for u in range(6):
+        t0 = 1_700_000_000 + u * 50
+        # per user: a 3-event session, a gap, then 2 more sessions;
+        # the wave split lands INSIDE session 2
+        offs = [0, 100, 200, 5000, 5100, 5200, 12000, 12100]
+        rows += [(u, u * 100 + j, t0 + o) for j, o in enumerate(offs)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, epoch long"
+    ).select("user_id", "event_id", F.timestamp_seconds("epoch").alias("ts"))
+
+    with tempfile.TemporaryDirectory() as d:
+        in_dir, out_dir, ck = (
+            os.path.join(d, "in"),
+            os.path.join(d, "out"),
+            os.path.join(d, "ck"),
+        )
+        split = 1_700_000_000 + 5100  # mid-session-2 for every user
+        ev.filter(F.unix_timestamp("ts") <= split).coalesce(1).write.parquet(
+            os.path.join(in_dir, "w1")
+        )
+        q1 = stream_sessionize(
+            spark, in_dir + "/*", "user_id long, event_id long, ts timestamp",
+            out_dir, ck,
+        )
+        q1.awaitTermination(120)
+        ev.filter(F.unix_timestamp("ts") > split).coalesce(1).write.parquet(
+            os.path.join(in_dir, "w2")
+        )
+        q2 = stream_sessionize(
+            spark, in_dir + "/*", "user_id long, event_id long, ts timestamp",
+            out_dir, ck,
+        )
+        q2.awaitTermination(120)
+
+        got = {
+            (r["user_id"], r["event_id"]): r["session_id"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        batch = ev.withColumn(
+            "new_s", F.when(gap.isNull() | (gap > 3600), 1).otherwise(0)
+        ).withColumn(
+            "session_id",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        want = {
+            (r["user_id"], r["event_id"]): r["session_id"]
+            for r in batch.collect()
+        }
+        assert got == want
+
+
 def test_stream_exact_dedup_stateful(spark):
     import os
     import tempfile
