@@ -222,6 +222,78 @@ def tile_points_coarse(
     ).select("point_id", "tile_id", "resolution")
 
 
+def rasterize_membership(
+    points: DataFrame,
+    membership: DataFrame,
+    grid: int = 8,
+    point_id: str = "point_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Vector -> raster: bin each tile's member points into a grid x
+    grid count raster over the tile's cell bbox (long form: one row per
+    nonzero raster cell).  The north-star's raster<->vector leg: tile
+    bounds come from pure cell-id arithmetic (tile_id packs res/x/y),
+    so the whole transform is JVM columnar — one groupBy, no Python.
+
+    -> (tile_id, resolution, gx, gy, n_points); gx/gy clamped to the
+    grid so boundary points (PIP keeps bottom/left edges) stay inside.
+    """
+    from lazyosm_spark.functions.cells import cell_bounds
+
+    pts = points.select(
+        F.col(point_id).cast("string").alias("point_id"),
+        F.col(lon).alias("lon"),
+        F.col(lat).alias("lat"),
+    )
+    m = membership.join(pts, "point_id")
+    lon_min, lat_min, lon_max, lat_max = cell_bounds(F.col("tile_id"))
+    g = F.lit(float(grid))
+    gx = F.least(
+        F.lit(grid - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("lon") - lon_min) / (lon_max - lon_min) * g).cast("int"),
+        ),
+    )
+    gy = F.least(
+        F.lit(grid - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("lat") - lat_min) / (lat_max - lat_min) * g).cast("int"),
+        ),
+    )
+    return (
+        m.select("tile_id", "resolution", gx.alias("gx"), gy.alias("gy"))
+        .groupBy("tile_id", "resolution", "gx", "gy")
+        .agg(F.count("*").cast("long").alias("n_points"))
+    )
+
+
+def raster_to_boxes(raster: DataFrame, grid: int = 8, min_count: int = 1) -> DataFrame:
+    """Raster -> vector: nonzero raster cells back to bbox polygons
+    (rings as [[lon,lat],...], closed) — the inverse leg, again pure
+    cell-id arithmetic + array construction (JVM)."""
+    from lazyosm_spark.functions.cells import cell_bounds
+
+    lon_min, lat_min, lon_max, lat_max = cell_bounds(F.col("tile_id"))
+    g = F.lit(float(grid))
+    cw = (lon_max - lon_min) / g
+    ch = (lat_max - lat_min) / g
+    x0 = lon_min + F.col("gx") * cw
+    y0 = lat_min + F.col("gy") * ch
+    ring = F.array(
+        F.array(x0, y0),
+        F.array(x0 + cw, y0),
+        F.array(x0 + cw, y0 + ch),
+        F.array(x0, y0 + ch),
+        F.array(x0, y0),
+    )
+    return raster.filter(F.col("n_points") >= min_count).select(
+        "tile_id", "resolution", "gx", "gy", "n_points", ring.alias("ring")
+    )
+
+
 def repartition_by_cell(df: DataFrame, cell_col: str, n: int) -> DataFrame:
     """Range-partition on cell id — co-locates spatially adjacent data
     (Z-order-ish locality), the shuffle-reuse analog of the reference's

@@ -1507,6 +1507,65 @@ def q_fx_streaming(spark, sf_dir):
     )
 
 
+def _tile_raster_sql(grid: int = 8) -> str:
+    """SQL twin of rasterize_membership over the golden doc membership:
+    tile bounds re-derived from the packed cell id with the SAME
+    floating-point op order as functions/cells.cell_bounds, so the
+    floor/clamp bin indices agree bit-for-bit."""
+    mask = (1 << 29) - 1
+    n = "CAST(CAST(pow(2.0, CAST((tile_id >> 58) AS DOUBLE)) AS BIGINT) AS DOUBLE)"
+    x = f"CAST(((tile_id >> 29) & {mask}) AS DOUBLE)"
+    y = f"CAST((tile_id & {mask}) AS DOUBLE)"
+    lon0 = f"({x} / {n} * 360.0 - 180.0)"
+    lat0 = f"({y} / {n} * 180.0 - 90.0)"
+    lon1 = f"({lon0} + 360.0 / {n})"
+    lat1 = f"({lat0} + 180.0 / {n})"
+    gx = (
+        f"least({grid - 1}, greatest(0, "
+        f"CAST(floor((lon - {lon0}) / ({lon1} - {lon0}) * {float(grid)!r}) AS INT)))"
+    )
+    gy = (
+        f"least({grid - 1}, greatest(0, "
+        f"CAST(floor((lat - {lat0}) / ({lat1} - {lat0}) * {float(grid)!r}) AS INT)))"
+    )
+    return f"""
+WITH p AS ({_DOC_POINTS_SQL}),
+m AS (SELECT doc_id, tile_id, resolution FROM {_golden('doc_tile_membership_sf001')}),
+j AS (SELECT m.tile_id, m.resolution, p.lon, p.lat FROM m JOIN p ON p.doc_id = m.doc_id)
+SELECT tile_id, CAST(resolution AS BIGINT) AS resolution,
+       CAST({gx} AS BIGINT) AS gx, CAST({gy} AS BIGINT) AS gy,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM j GROUP BY 1, 2, 3, 4
+"""
+
+
+@_register("tile_raster_grid", _tile_raster_sql())
+def q_tile_raster(spark, sf_dir):
+    """Raster<->vector leg: engine PIP membership (doc points x fixture
+    tiles) binned into per-tile 8x8 count rasters — checked against the
+    scalar-oracle golden membership rasterized in SQL (so the full
+    membership row set is transitively value-checked too)."""
+    from lazyosm_spark.operators.spatial_join import (
+        rasterize_membership,
+        tile_points,
+    )
+    from lazyosm_spark.sources.fixtures import load_fixtures
+
+    fx = load_fixtures(spark, _fixture_scale(sf_dir))
+    pts = _doc_points(spark, sf_dir).selectExpr(
+        "cast(doc_id as string) as point_id", "lon", "lat"
+    )
+    mem = tile_points(pts, fx["tiles"])
+    out = rasterize_membership(pts, mem, grid=8)
+    return out.select(
+        "tile_id",
+        F.col("resolution").cast("long").alias("resolution"),
+        F.col("gx").cast("long").alias("gx"),
+        F.col("gy").cast("long").alias("gy"),
+        "n_points",
+    )
+
+
 @_register_fixture("fx_streaming_sessionize", ORACLES["sessionize"])
 def q_fx_stream_sessionize(spark, sf_dir):
     """Stateful streaming sessionization == the batch window query: the

@@ -122,6 +122,55 @@ def test_tile_points_auto_dispatches_to_shuffle(spark, fx):
     assert a == b and len(a) > 0
 
 
+def test_rasterize_membership_roundtrip(spark, fx):
+    """Raster cells partition each tile's members (sums match the
+    membership counts), bins are in range, and raster_to_boxes rings
+    contain the binned points' bbox."""
+    from pyspark.sql import functions as F
+
+    from lazyosm_spark.functions.cells import cell_bounds
+    from lazyosm_spark.operators.spatial_join import (
+        raster_to_boxes,
+        rasterize_membership,
+        tile_points,
+    )
+
+    pts = spark.createDataFrame(
+        [(f"p{i}",
+          -180.0 + 360.0 * ((i * 0.7548776662466927) % 1.0),
+          -85.0 + 170.0 * ((i * 0.5698402909980532) % 1.0))
+         for i in range(500)],
+        "point_id string, lon double, lat double",
+    )
+    mem = tile_points(pts, fx["tiles"])
+    raster = rasterize_membership(pts, mem, grid=4).persist()
+    mem_counts = {
+        r["tile_id"]: r["n"]
+        for r in mem.groupBy("tile_id").agg(F.count("*").alias("n")).collect()
+    }
+    raster_sums = {
+        r["tile_id"]: r["n"]
+        for r in raster.groupBy("tile_id").agg(F.sum("n_points").alias("n")).collect()
+    }
+    assert raster_sums == mem_counts and len(raster_sums) > 0
+    bad = raster.filter(
+        (F.col("gx") < 0) | (F.col("gx") > 3) | (F.col("gy") < 0) | (F.col("gy") > 3)
+    ).count()
+    assert bad == 0
+
+    boxes = raster_to_boxes(raster, grid=4)
+    # every box ring sits inside its tile's cell bbox
+    lon_min, lat_min, lon_max, lat_max = cell_bounds(F.col("tile_id"))
+    eps = 1e-9
+    out_of_tile = boxes.filter(
+        (F.element_at(F.element_at("ring", 1), 1) < lon_min - eps)
+        | (F.element_at(F.element_at("ring", 3), 1) > lon_max + eps)
+        | (F.element_at(F.element_at("ring", 1), 2) < lat_min - eps)
+        | (F.element_at(F.element_at("ring", 3), 2) > lat_max + eps)
+    ).count()
+    assert out_of_tile == 0
+
+
 def test_grid_knn_equals_bruteforce(spark):
     from lazyosm_spark.operators.knn import grid_knn, knn_brute
 
