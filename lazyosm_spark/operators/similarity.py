@@ -257,22 +257,38 @@ def cosine_near_dup_exact(
 # ---------------------------------------------------------------- IVF ----
 
 
+def _make_assign_udf(spark_context, cmat):
+    b_c = spark_context.broadcast(cmat)
+
+    @F.pandas_udf("int")
+    def assign(vec: pd.Series) -> pd.Series:
+        c = b_c.value
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
+
+    return assign
+
+
 def ivf_index(
     items: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 0,
 ):
-    """Build a one-shot IVF index: centroids = deterministic seeded
-    sample of the vectors themselves (ids hashed; no RNG so executors
-    and re-runs agree), assignment = argmax cosine, computed in one
-    vectorized pandas batch matmul.
+    """Build an IVF index: centroids = deterministic seeded sample of
+    the vectors themselves (ids hashed; no RNG so executors and re-runs
+    agree), assignment = argmax cosine in one vectorized pandas batch
+    matmul, plus optional ``lloyd_iters`` rounds of spherical k-means
+    refinement (per-cluster elementwise mean -> renormalize -> reassign;
+    the cosine objective is monotone non-decreasing, pytest-pinned).
+    Each round is one groupBy over exploded vector positions — the
+    centroid table stays tiny (n_centroids x dim collected rows), the
+    vectors never leave the cluster.
 
     Returns (assigned DataFrame with 'centroid' column, centroids
-    ndarray broadcastable to queries).  One Lloyd refinement step is a
-    groupBy('centroid').avg over the array — omitted by default; the
-    seeded-sample index already gives the partition-pruning behavior
-    the scale path needs."""
+    ndarray broadcastable to queries)."""
     import numpy as np
 
     cents = (
@@ -284,16 +300,30 @@ def ivf_index(
     cmat = np.asarray([list(r[vec_col]) for r in cents], dtype=np.float64)
     cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
     sc = items.sparkSession.sparkContext
-    b_c = sc.broadcast(cmat)
 
-    @F.pandas_udf("int")
-    def assign(vec: pd.Series) -> pd.Series:
-        c = b_c.value
-        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
+    v_dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for _ in range(lloyd_iters):
+        assign = _make_assign_udf(sc, cmat)
+        means = (
+            items.withColumn("centroid", assign(F.col(vec_col)))
+            .select("centroid", F.posexplode(v_dbl).alias("pos", "x"))
+            .groupBy("centroid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = cmat.copy()  # empty clusters keep their previous centroid
+        touched = sorted({r["centroid"] for r in means})
+        for r in means:
+            new[r["centroid"], r["pos"]] = r["m"]
+        for c in touched:
+            n = np.linalg.norm(new[c])
+            if n > 0:
+                new[c] = new[c] / n
+        cmat = new
 
-    assigned = items.withColumn("centroid", assign(F.col(vec_col)))
+    assigned = items.withColumn(
+        "centroid", _make_assign_udf(sc, cmat)(F.col(vec_col))
+    )
     return assigned, cmat
 
 
@@ -305,14 +335,16 @@ def ivf_ann_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: items partition by nearest centroid;
     each query probes its nprobe nearest centroids' partitions only —
     an equi-join on centroid id (partition pruning at scale), exact
-    cosine re-rank inside.  Recall measured vs cosine_topk in tests."""
+    cosine re-rank inside.  Recall measured vs cosine_topk in tests;
+    ``lloyd_iters`` refines centroids (spherical k-means) first."""
     import numpy as np
 
-    assigned, cmat = ivf_index(items, n_centroids, id_col, vec_col)
+    assigned, cmat = ivf_index(items, n_centroids, id_col, vec_col, lloyd_iters)
     sc = items.sparkSession.sparkContext
     b_c = sc.broadcast(cmat)
 

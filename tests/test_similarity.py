@@ -45,6 +45,37 @@ def test_ivf_nprobe_all_is_exact(spark):
     assert full == exact  # probing every partition == brute force
 
 
+def test_ivf_lloyd_objective_monotone(spark):
+    """Spherical k-means refinement must not decrease the mean cosine
+    between vectors and their assigned centroid (the k-means objective),
+    and nprobe=all stays exact regardless of refinement."""
+    import numpy as np
+
+    from lazyosm_spark.operators.similarity import cosine_topk, ivf_ann_topk, ivf_index
+
+    emb = _emb(spark)
+    objs = []
+    for iters in (0, 1, 2):
+        assigned, cmat = ivf_index(emb, n_centroids=8, lloyd_iters=iters)
+        rows = assigned.select("embedding", "centroid").collect()
+        m = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        c = np.asarray([cmat[r["centroid"]] for r in rows])
+        objs.append(float(np.mean(np.sum(m * c, axis=1))))
+    assert objs[1] >= objs[0] - 1e-9 and objs[2] >= objs[1] - 1e-9, objs
+
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(emb, q, k=4).collect()
+    }
+    refined = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_ann_topk(emb, q, k=4, n_centroids=8, nprobe=8, lloyd_iters=2).collect()
+    }
+    assert refined == exact
+
+
 def test_lsh_ann_recall(spark):
     from lazyosm_spark.operators.similarity import cosine_topk, lsh_ann_topk
 
