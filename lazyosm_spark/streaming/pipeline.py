@@ -119,6 +119,31 @@ def _dedup_state_fn(key, pdfs, state):
     )
 
 
+def stream_windowed_counts(
+    spark: SparkSession,
+    input_dir: str,
+    input_schema: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> StreamingQuery:
+    """Append-mode watermarked tumbling rollup: a window row is emitted
+    exactly once, after the watermark passes its end; events arriving
+    later than the watermark are DROPPED (the late-data contract the
+    test pins).  Batch twin: windowed_event_counts on a static frame."""
+    stream = spark.readStream.schema(input_schema).parquet(input_dir)
+    agg = windowed_event_counts(stream, window=window, watermark=watermark)
+    return (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 SESSION_OUT_SCHEMA = "user_id long, event_id long, session_id long"
 SESSION_STATE_SCHEMA = "last_ts long, sess long"
 

@@ -143,6 +143,78 @@ def test_stream_sessionize_state_spans_restarts(spark):
         assert got == want
 
 
+def test_watermark_drops_late_events(spark):
+    """Append-mode watermarked windows: an event arriving in a later
+    run, older than the advanced watermark, must NOT change its (long
+    closed) window; on-time closed windows match the batch twin over
+    the on-time events only."""
+    from lazyosm_spark.streaming.pipeline import (
+        stream_windowed_counts,
+        windowed_event_counts,
+    )
+
+    t0 = 1_700_000_000
+    wave1 = [
+        # two 5-min windows' worth of events, then one 1h-later event
+        # that pushes the watermark (t0+3600 - 10min) past both windows
+        (1, t0 + 10, "click", 1.0),
+        (2, t0 + 20, "click", 1.0),
+        (3, t0 + 400, "click", 1.0),
+        (4, t0 + 3600, "view", 1.0),
+    ]
+    wave2 = [
+        (5, t0 + 30, "click", 1.0),      # LATE: older than the watermark
+        (6, t0 + 7200, "view", 1.0),     # pushes watermark further
+        (7, t0 + 10800, "view", 1.0),    # keeps the 2h window pending
+    ]
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, epoch long, event_type string, value double"
+        ).select(
+            "event_id", F.timestamp_seconds("epoch").alias("ts"),
+            "event_type", "value",
+        )
+
+    with tempfile.TemporaryDirectory() as d:
+        in_dir, out_dir, ck = (
+            os.path.join(d, "in"), os.path.join(d, "out"), os.path.join(d, "ck"),
+        )
+        df(wave1).coalesce(1).write.parquet(os.path.join(in_dir, "w1"))
+        q1 = stream_windowed_counts(
+            spark, in_dir + "/*",
+            "event_id long, ts timestamp, event_type string, value double",
+            out_dir, ck,
+        )
+        q1.awaitTermination(120)
+        df(wave2).coalesce(1).write.parquet(os.path.join(in_dir, "w2"))
+        q2 = stream_windowed_counts(
+            spark, in_dir + "/*",
+            "event_id long, ts timestamp, event_type string, value double",
+            out_dir, ck,
+        )
+        q2.awaitTermination(120)
+
+        got = {
+            (r["win_start"], r["event_type"]): r["n"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        # batch twin over ON-TIME events (late event 5 excluded) whose
+        # windows closed under the final watermark (t0+10800 - 10min) —
+        # event 7's own window is still pending, so it's excluded
+        on_time = [r for r in wave1 + wave2 if r[0] != 5]
+        final_wm = t0 + 10800 - 600
+        want = {
+            (r["win_start"], r["event_type"]): r["n"]
+            for r in windowed_event_counts(df(on_time)).collect()
+            if r["win_end"].timestamp() <= final_wm
+        }
+        assert got == want
+        # the late click (event 5) did not inflate its window
+        first_win = [v for (ws, et), v in got.items() if et == "click"]
+        assert sum(first_win) == 3  # events 1,2,3 only
+
+
 def test_stream_exact_dedup_stateful(spark):
     import os
     import tempfile
