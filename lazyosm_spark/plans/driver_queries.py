@@ -797,7 +797,12 @@ def q_fingerprint(spark, sf_dir):
 
 FIXTURE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-GOLDEN_DIR = "/root/repo/tests/golden_driver"
+# repo-relative so the oracles survive a checkout at any path
+GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "golden_driver",
+)
 
 
 def _golden(name: str) -> str:
