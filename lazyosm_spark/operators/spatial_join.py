@@ -222,6 +222,74 @@ def tile_points_coarse(
     ).select("point_id", "tile_id", "resolution")
 
 
+def polyfill(
+    tiles: DataFrame,
+    res_col=None,
+    ring_col: str = "ring",
+    id_col: str = "tile_id",
+) -> DataFrame:
+    """H3-polyfill analog: the cells at a (possibly per-row) resolution
+    whose CENTERS lie inside each polygon ring — the standard polyfill
+    containment rule.  Plan: ring bbox (JVM array math) -> cover_bbox
+    cells (JVM) -> explode -> vectorized ray-cast of the cell centers
+    (one Arrow batch pass, rings grouped within the batch).  No shuffle:
+    everything is map-side over the tiles table.
+
+    -> (tile_id, cell, center_lon, center_lat).  ``res_col`` defaults
+    to ``resolution + 2`` (one quadtree level pair below the tile)."""
+    from lazyosm_spark.functions.cells import cell_bounds, cover_bbox
+
+    res = res_col if res_col is not None else (F.col("resolution") + 2)
+    xs = F.transform(F.col(ring_col), lambda p: F.element_at(p, 1))
+    ys = F.transform(F.col(ring_col), lambda p: F.element_at(p, 2))
+    cand = tiles.select(
+        F.col(id_col).alias("tile_id"),
+        F.col(ring_col).alias("_ring"),
+        F.explode(
+            cover_bbox(
+                F.array_min(xs), F.array_min(ys), F.array_max(xs), F.array_max(ys), res
+            )
+        ).alias("cell"),
+    )
+    lon_min, lat_min, lon_max, lat_max = cell_bounds(F.col("cell"))
+    cand = cand.select(
+        "tile_id",
+        "_ring",
+        "cell",
+        ((lon_min + lon_max) / 2).alias("center_lon"),
+        ((lat_min + lat_max) / 2).alias("center_lat"),
+    )
+
+    @F.pandas_udf("boolean")
+    def center_inside(
+        tid_s: pd.Series, ring_s: pd.Series, lon_s: pd.Series, lat_s: pd.Series
+    ) -> pd.Series:
+        out = np.zeros(len(ring_s), dtype=bool)
+        lon_v = lon_s.to_numpy(np.float64)
+        lat_v = lat_s.to_numpy(np.float64)
+        tid = tid_s.to_numpy(np.int64)
+        # one tile's exploded rows arrive contiguously: one vectorized
+        # ray-cast per tile run (run boundaries by tile_id change)
+        bounds = np.flatnonzero(np.diff(tid)) + 1
+        for seg in np.split(np.arange(len(tid)), bounds):
+            if len(seg) == 0:
+                continue
+            ring = np.asarray(
+                [list(p) for p in ring_s.iloc[seg[0]]], dtype=np.float64
+            )
+            if len(ring) > 1 and (ring[0] == ring[-1]).all():
+                ring = ring[:-1]
+            xy = np.column_stack([lon_v[seg], lat_v[seg]])
+            out[seg] = pip_mask(ring, xy)
+        return pd.Series(out)
+
+    return cand.filter(
+        center_inside(
+            F.col("tile_id"), F.col("_ring"), F.col("center_lon"), F.col("center_lat")
+        )
+    ).select("tile_id", "cell", "center_lon", "center_lat")
+
+
 def rasterize_membership(
     points: DataFrame,
     membership: DataFrame,

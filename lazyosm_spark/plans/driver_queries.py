@@ -1176,6 +1176,18 @@ def q_asof(spark, sf_dir):
     )
 
 
+@_register("asof_join_pandas", ORACLES["asof_join"])
+def q_asof_pandas(spark, sf_dir):
+    """The grouped-pandas as-of formulation (operators/asof.py) checked
+    against the SAME oracle as the window form."""
+    from lazyosm_spark.operators.asof import asof_join_pandas
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    return asof_join_pandas(clicks, views).select("event_id", "secs_since_view")
+
+
 @_register(
     "percentiles",
     """
@@ -1569,6 +1581,22 @@ def q_tile_raster(spark, sf_dir):
         F.col("gy").cast("long").alias("gy"),
         "n_points",
     )
+
+
+@_register_fixture(
+    "fx_tile_polyfill",
+    f"""
+SELECT tile_id, cell FROM {_golden('polyfill_tiles')}
+""",
+)
+def q_fx_polyfill(spark, sf_dir):
+    """H3-polyfill analog (cells whose centers fall inside each tile
+    ring, resolution+2) vs the scalar-oracle golden polyfill."""
+    from lazyosm_spark.operators.spatial_join import polyfill
+    from lazyosm_spark.sources.fixtures import load_fixtures
+
+    fx = load_fixtures(spark, _fixture_scale(sf_dir))
+    return polyfill(fx["tiles"]).select("tile_id", "cell").orderBy("tile_id", "cell")
 
 
 @_register_fixture("fx_streaming_sessionize", ORACLES["sessionize"])

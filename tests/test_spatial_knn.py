@@ -122,6 +122,28 @@ def test_tile_points_auto_dispatches_to_shuffle(spark, fx):
     assert a == b and len(a) > 0
 
 
+def test_polyfill_invariants(spark, fx):
+    """Polyfill cells carry resolution+2, their centers are inside the
+    tile's cell bbox, and an exact-bbox tile ring polyfills to exactly
+    its 16 grandchildren (every finer-cell center is strictly interior)."""
+    from pyspark.sql import functions as F
+
+    from lazyosm_spark.functions.cells import cell_res
+    from lazyosm_spark.operators.spatial_join import polyfill
+
+    out = polyfill(fx["tiles"]).persist()
+    j = out.join(fx["tiles"].select("tile_id", "resolution"), "tile_id")
+    assert j.filter(cell_res(F.col("cell")) != F.col("resolution") + 2).count() == 0
+
+    # exact-bbox rings: 5-point closed rectangles == the tile cell bbox
+    exact = fx["tiles"].filter(F.size("ring") == 5).select("tile_id")
+    counts = (
+        out.join(exact, "tile_id").groupBy("tile_id").agg(F.count("*").alias("n"))
+    )
+    assert counts.count() > 0
+    assert counts.filter(F.col("n") != 16).count() == 0
+
+
 def test_rasterize_membership_roundtrip(spark, fx):
     """Raster cells partition each tile's members (sums match the
     membership counts), bins are in range, and raster_to_boxes rings

@@ -140,6 +140,42 @@ def golden_phash(scale: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def golden_polyfill(extra_res: int = 2) -> pd.DataFrame:
+    """Scalar-oracle polyfill of the fixture tiles: cells at
+    resolution + extra_res whose centers pass ro.pip — the same cover /
+    center float formulas as functions/cells (formula-identical, so
+    borderline centers agree)."""
+    rows = []
+    for _, t in gen_tiles().iterrows():
+        ring = [tuple(p) for p in t["ring"]]
+        if ring[0] == ring[-1]:
+            ring = ring[:-1]
+        res = int(t["resolution"]) + extra_res
+        n = 1 << res
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+
+        def idx(v: float, lo: float, span: float) -> int:
+            return max(0, min(int(np.floor((v - lo) / span * n)), n - 1))
+
+        x0, x1 = idx(min(xs), -180.0, 360.0), idx(max(xs), -180.0, 360.0)
+        y0, y1 = idx(min(ys), -90.0, 180.0), idx(max(ys), -90.0, 180.0)
+        for x in range(x0, x1 + 1):
+            for y in range(y0, y1 + 1):
+                lon_min = x / float(n) * 360.0 - 180.0
+                lat_min = y / float(n) * 180.0 - 90.0
+                c_lon = (lon_min + (lon_min + 360.0 / float(n))) / 2
+                c_lat = (lat_min + (lat_min + 180.0 / float(n))) / 2
+                if ro.pip(ring, (c_lon, c_lat)):
+                    rows.append(
+                        dict(
+                            tile_id=np.int64(t["tile_id"]),
+                            cell=np.int64((res << 58) | (x << 29) | y),
+                        )
+                    )
+    return pd.DataFrame(rows)
+
+
 def golden_doc_tile_membership(documents_parquet: str) -> pd.DataFrame:
     """Doc-point x fixture-tile membership via the scalar-oracle PIP —
     the independent twin of the streaming/batch tiling over the driver
@@ -281,6 +317,7 @@ def make_driver_artifacts(
         os.path.join(out, "roundtrip_images_small.parquet")
     )
     golden_phash(scale).to_parquet(os.path.join(out, "phash_small.parquet"))
+    golden_polyfill().to_parquet(os.path.join(out, "polyfill_tiles.parquet"))
     golden_doc_tile_membership(os.path.join(sf_dir, "documents.parquet")).to_parquet(
         os.path.join(out, "doc_tile_membership_sf001.parquet")
     )
