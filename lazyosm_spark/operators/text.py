@@ -11,6 +11,8 @@ DuckDB-oracle SQL twin in __spark_entry__ so the driver value-checks it.
 
 from __future__ import annotations
 
+import numpy as np  # noqa: F401
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -123,3 +125,122 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         ).cast("long"),
     )
     return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer-Wilkerson-Aiken): positional word k-gram
+    hashes -> minimum per sliding window of w -> distinct selected
+    hashes = the document's fingerprint SET (guaranteed to share a
+    fingerprint with any document overlapping by >= w+k-1 tokens).
+
+    Vectorized Arrow path (the hot one): per batch, md5 the UNIQUE
+    grams once, sliding-window minima via numpy stride tricks — the
+    JVM-expression twin below re-evaluates the hash array per window
+    element (nested higher-order functions; same trap as commit
+    a9fc69d) and is kept only as the formula spec, pinned identical by
+    pytest.  Tie order inside a window doesn't affect the VALUE set,
+    so the paper's rightmost-min rule reduces to plain min.  Docs
+    shorter than k + w - 1 tokens emit an empty set (oracle-identical).
+
+    -> (doc_id, n_fp, fp_seq) with fp_seq = sorted fingerprints joined
+    by ',' (portable across engines for the value hash)."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ws = _re.compile(r"\s+")
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("n_fp", T.LongType()),
+                T.StructField("fp_seq", T.StringType()),
+            ]
+        )
+    )
+    def winnow(text: pd.Series) -> pd.DataFrame:
+        vocab: dict[str, int] = {}
+        gram_idx = []
+        for t in text:
+            toks = ws.sub(" ", (t or "").strip().lower()).split(" ")
+            grams = [
+                " ".join(toks[i : i + k]) for i in range(max(len(toks) - k + 1, 0))
+            ]
+            gram_idx.append(
+                np.fromiter(
+                    (vocab.setdefault(g, len(vocab)) for g in grams),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+            )
+        hv = np.fromiter(
+            (
+                int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                for g in vocab
+            ),
+            dtype=np.int64,
+            count=len(vocab),
+        )
+        n_fp, fp_seq = [], []
+        for idx in gram_idx:
+            if len(idx) < w:
+                n_fp.append(0)
+                fp_seq.append("")
+                continue
+            hs = hv[idx]
+            mins = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
+            fps = np.unique(mins)  # distinct + sorted
+            n_fp.append(int(len(fps)))
+            fp_seq.append(",".join(str(int(x)) for x in fps))
+        return pd.DataFrame({"n_fp": n_fp, "fp_seq": fp_seq})
+
+    st = winnow(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        st.getField("n_fp").alias("n_fp"),
+        st.getField("fp_seq").alias("fp_seq"),
+    )
+
+
+def winnow_fingerprints_expr(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """JVM-expression winnowing twin (the formula spec; slow — nested
+    HOFs re-evaluate the hash array per window)."""
+    def seq1(n):
+        # sequence(1, 0) DESCENDS in Spark ([1, 0]); an empty range
+        # needs an explicit guard
+        return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    toks = F.split(normalize_text(text_col), " ")
+    n_grams = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    grams = F.transform(
+        seq1(n_grams), lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+    )
+    hs = F.transform(grams, lambda g: md5_long(g))
+    n_win = F.greatest(F.size(hs) - F.lit(w - 1), F.lit(0))
+    fps = F.array_distinct(
+        F.transform(seq1(n_win), lambda i: F.array_min(F.slice(hs, i, w)))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(fps).cast("long").alias("n_fp"),
+        F.concat_ws(
+            ",", F.transform(F.array_sort(fps), lambda x: x.cast("string"))
+        ).alias("fp_seq"),
+    )

@@ -786,6 +786,31 @@ def q_fingerprint(spark, sf_dir):
     return text.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "winnow_fingerprints",
+    rf"""
+WITH t AS (SELECT doc_id,
+        regexp_split_to_array(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+FROM documents),
+g AS (SELECT doc_id,
+      [array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks) - 2, 0) + 1)] AS grams
+      FROM t),
+h AS (SELECT doc_id, list_transform(grams, s -> {md5_long_sql('s')}) AS hs FROM g),
+f AS (SELECT doc_id,
+      list_distinct([list_min(hs[i:i+3]) for i in range(1, greatest(len(hs) - 3, 0) + 1)]) AS fps
+      FROM h)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+       array_to_string(list_sort(fps), ',') AS fp_seq
+FROM f
+""",
+)
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (k=3-gram hashes, window w=4) — the
+    local-fingerprinting dedup family member (SWA 2003), value-checked
+    against the identical DuckDB list-comprehension pipeline."""
+    return text.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, w=4)
+
+
 # ======================================================================
 # Fixture-backed operators (geometry / images / ANN).  Each now carries
 # a DuckDB oracle too: either pure SQL (formula-identical twins of the
