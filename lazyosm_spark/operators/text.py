@@ -1,12 +1,17 @@
 """Text analysis for training-data pipelines over ``documents``.
 
-All JVM-side (split/regexp/aggregate) — no Python UDFs — and each has a
-DuckDB-oracle SQL twin in __spark_entry__ so the driver value-checks it.
+Each operator has a DuckDB-oracle SQL twin in __spark_entry__ so the
+driver value-checks it.  token_stats/quality/langid/fingerprint are
+pure JVM expressions (split/regexp/aggregate); winnow_fingerprints is
+an Arrow-vectorized pandas UDF (its JVM-expression twin is kept as the
+pinned formula spec — nested higher-order functions re-evaluate the
+hash array per window, ~12x slower).
 
-- token_stats    : whitespace tokens + BPE-ish word-piece count
-- quality_score  : length / punctuation / stopword-ratio heuristics
-- langid         : stopword-hit language scoring (en/de/fr heuristic)
-- fingerprint    : polynomial rolling hash over normalized tokens
+- token_stats         : whitespace tokens + BPE-ish word-piece count
+- quality_score       : length / punctuation / stopword-ratio heuristics
+- langid              : stopword-hit language scoring (en/de/fr heuristic)
+- fingerprint         : polynomial rolling hash over normalized tokens
+- winnow_fingerprints : SWA local fingerprinting (k-gram window minima)
 """
 
 from __future__ import annotations
