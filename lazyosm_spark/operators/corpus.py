@@ -1,0 +1,70 @@
+"""End-to-end corpus curation: the composed training-data filter.
+
+Real pipelines chain the individual operators — quality heuristics,
+language id, exact dedup, near-dup grouping — into one "keep this
+document?" decision.  ``filter_corpus`` is that composition as a single
+declarative plan (each leg is the already-oracle-checked operator, so
+the composition's DuckDB twin is the same SQL legs CTE-joined):
+
+  keep(doc) =  quality  >= min_quality          (quality_score)
+            AND lang_pred IN langs              (langid)
+            AND doc is its exact-dedup group's  (exact_dedup)
+                min-id representative
+            [AND doc is its near-dup CLUSTER's  (minhash LSH ->
+                 representative]                 connected components)
+
+At scale every leg is one shuffle or less; the joins are all on doc_id
+(co-partitioned after the first shuffle, AQE reuses the exchange).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lazyosm_spark.operators import dedup as _dedup
+from lazyosm_spark.operators import text as _text
+
+
+def filter_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.25,
+    langs: Sequence[str] = ("en",),
+    near_dup_threshold: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, lang_pred, quality) of the documents that survive
+    every filter.  ``near_dup_threshold`` (optional, e.g. 0.5) also
+    drops non-representative members of minhash-LSH near-dup CLUSTERS
+    (transitive, via connected components)."""
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    q = _text.quality_score(d).select("doc_id", "quality")
+    lang = _text.langid(d).select("doc_id", "lang_pred")
+    reps = _dedup.exact_dedup(d).select("doc_id")
+
+    out = (
+        d.select("doc_id")
+        .join(q, "doc_id")
+        .join(lang, "doc_id")
+        .join(reps, "doc_id", "left_semi")
+        .filter(
+            (F.col("quality") >= F.lit(min_quality))
+            & F.col("lang_pred").isin(*langs)
+        )
+    )
+    if near_dup_threshold is not None:
+        from lazyosm_spark.operators.graph import dedup_representatives
+
+        edges = _dedup.minhash_lsh_pairs(
+            d, jaccard_threshold=near_dup_threshold
+        ).select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+        keep = dedup_representatives(d.select("doc_id"), edges, node_col="doc_id")
+        out = out.join(
+            keep.filter("is_representative").select(F.col("id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+    return out.select("doc_id", "lang_pred", "quality")

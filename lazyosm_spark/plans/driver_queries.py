@@ -1051,6 +1051,41 @@ def q_doc_components(spark, sf_dir):
     )
 
 
+def _corpus_filter_sql(min_quality: float = 0.25, lang: str = "en") -> str:
+    """The composed corpus filter's twin: the SAME per-leg oracle SQL
+    (quality / langid / exact-dedup / LSH components) CTE-joined."""
+    return f"""
+WITH q AS ({ORACLES['quality_score']}),
+l AS ({ORACLES['langid']}),
+reps AS ({ORACLES['exact_dedup']}),
+comp AS ({_components_sql(threshold=0.5)})
+SELECT d.doc_id, l.lang_pred, q.quality
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN l ON l.doc_id = d.doc_id
+WHERE q.quality >= {min_quality!r}
+  AND l.lang_pred = '{lang}'
+  AND d.doc_id IN (SELECT doc_id FROM reps)
+  AND d.doc_id IN (SELECT doc_id FROM comp WHERE component = doc_id)
+"""
+
+
+@_register("corpus_filter", _corpus_filter_sql())
+def q_corpus_filter(spark, sf_dir):
+    """The composed end-to-end curation decision (quality + langid +
+    exact dedup + transitive near-dup representatives) as one plan,
+    value-checked against the CTE-joined per-leg oracles."""
+    from lazyosm_spark.operators.corpus import filter_corpus
+
+    out = filter_corpus(
+        _t(spark, sf_dir, "documents"),
+        min_quality=0.25,
+        langs=("en",),
+        near_dup_threshold=0.5,
+    )
+    return out.select("doc_id", "lang_pred", "quality")
+
+
 @_register_fixture("fx_minhash_lsh_pairs", _minhash_lsh_sql())
 def q_fx_lsh(spark, sf_dir):
     """Full LSH dedup pipeline (bands -> bucket join -> exploded-join

@@ -37,6 +37,31 @@ def test_winnow_vectorized_equals_expression(spark):
     assert fast[90001] == (0, "") and fast[90003] == (0, "")
 
 
+def test_filter_corpus_composition(spark):
+    """Each leg of the composed filter bites, survivors satisfy every
+    predicate, and near-dup clustering keeps exactly one representative
+    per duplicate group."""
+    from pyspark.sql import functions as F
+
+    from lazyosm_spark.operators.corpus import filter_corpus
+    from lazyosm_spark.operators.text import langid, quality_score
+
+    base = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    dup_text = base.filter("doc_id = 0").first()["text"]
+    extra = spark.createDataFrame(
+        [(70001, dup_text), (70002, "zz qq ww")],  # exact dup + junk
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(extra)
+    out = filter_corpus(docs, min_quality=0.25, langs=("en",), near_dup_threshold=0.5)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 0 < len(kept) < docs.count()
+    assert 70001 not in kept and 70002 not in kept  # dup loses to min-id; junk fails quality
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    lang = {r["doc_id"]: r["lang_pred"] for r in langid(docs).collect()}
+    assert all(q[i] >= 0.25 and lang[i] == "en" for i in kept)
+
+
 def test_winnow_guarantee_shared_fingerprint(spark):
     """Documents sharing a >= w+k-1 token run must share at least one
     fingerprint (the SWA detection guarantee)."""
