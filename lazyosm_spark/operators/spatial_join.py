@@ -227,6 +227,7 @@ def polyfill(
     res_col=None,
     ring_col: str = "ring",
     id_col: str = "tile_id",
+    max_cells_per_ring: int | None = 65536,
 ) -> DataFrame:
     """H3-polyfill analog: the cells at a (possibly per-row) resolution
     whose CENTERS lie inside each polygon ring — the standard polyfill
@@ -235,21 +236,41 @@ def polyfill(
     (one Arrow batch pass, rings grouped within the batch).  No shuffle:
     everything is map-side over the tiles table.
 
-    -> (tile_id, cell, center_lon, center_lat).  ``res_col`` defaults
-    to ``resolution + 2`` (one quadtree level pair below the tile)."""
+    SCALE GUARD: a ring much larger than the target cell size explodes
+    bbox_area/cell_area candidate rows — ``max_cells_per_ring`` FAILS
+    the job (assert_true) instead of silently materializing an
+    unbounded explode; pick a coarser res for continental polygons.
+    The ``resolution + 2`` default ties the cell size to the tile's
+    own scale (<= ~16 interior cells), so the guard never fires there.
+
+    -> (tile_id, cell, center_lon, center_lat)."""
     from lazyosm_spark.functions.cells import cell_bounds, cover_bbox
 
     res = res_col if res_col is not None else (F.col("resolution") + 2)
     xs = F.transform(F.col(ring_col), lambda p: F.element_at(p, 1))
     ys = F.transform(F.col(ring_col), lambda p: F.element_at(p, 2))
-    cand = tiles.select(
+    cover = cover_bbox(
+        F.array_min(xs), F.array_min(ys), F.array_max(xs), F.array_max(ys), res
+    )
+    base = tiles.select(
         F.col(id_col).alias("tile_id"),
         F.col(ring_col).alias("_ring"),
-        F.explode(
-            cover_bbox(
-                F.array_min(xs), F.array_min(ys), F.array_max(xs), F.array_max(ys), res
-            )
-        ).alias("cell"),
+        cover.alias("_cover"),
+    )
+    if max_cells_per_ring is not None:
+        # assert_true must live in a FILTER — as a dropped projection
+        # column Catalyst prunes it away and the check never runs
+        base = base.filter(
+            F.assert_true(
+                F.size("_cover") <= max_cells_per_ring,
+                F.concat(
+                    F.lit("polyfill ring covers > max_cells_per_ring cells at tile "),
+                    F.col("tile_id").cast("string"),
+                ),
+            ).isNull()
+        )
+    cand = base.select(
+        "tile_id", "_ring", F.explode("_cover").alias("cell")
     )
     lon_min, lat_min, lon_max, lat_max = cell_bounds(F.col("cell"))
     cand = cand.select(
