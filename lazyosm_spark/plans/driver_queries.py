@@ -1181,7 +1181,9 @@ def q_fx_grid_knn(spark, sf_dir):
     pts = _doc_points(spark, sf_dir)
     q = pts.selectExpr("cast(doc_id as string) as query_id", "lon", "lat")
     p = pts.selectExpr("cast(doc_id as string) as point_id", "lon", "lat")
-    out = grid_knn(q, p, k=4, res=6)
+    # res=None: the density-auto resolution path (exactness is
+    # res-invariant, so the oracle is unchanged)
+    out = grid_knn(q, p, k=4)
     return out.groupBy("query_id").agg(
         F.count("*").cast("long").alias("n"),
         F.round(F.max("dist"), 9).alias("kth_dist"),

@@ -204,7 +204,7 @@ def test_grid_knn_equals_bruteforce(spark):
     )
     got = {
         (r["query_id"], r["rank"]): r["neighbor_id"]
-        for r in grid_knn(q, pdf, k=5, res=6).collect()
+        for r in grid_knn(q, pdf, k=5).collect()  # density-auto res
     }
     want = {
         (r["query_id"], r["rank"]): r["neighbor_id"]
