@@ -5,9 +5,10 @@ spark-submit entry (runs unchanged on a cluster; local[] for sandbox):
     # one-time input build (distributed synthesis of the image table):
     spark-submit jobs/tile_images.py --generate --images /path/images \
         --n-images 200000
-    # the measured pipeline:
+    # the measured pipeline (re-running with the same --output RESUMES
+    # from the per-bucket lineage automatically — no flag needed):
     spark-submit --py-files lazyosm_spark.zip jobs/tile_images.py \
-        --images /path/images --output /path/out [--cpus 32] [--resume]
+        --images /path/images --output /path/out [--cpus 32]
 
 Measured pipeline (each stage checkpointed with per-partition lineage
 so a kill mid-run resumes without duplicate work):
