@@ -140,6 +140,31 @@ def test_pbf_plain_nodes_and_granularity(spark):
         }
 
 
+def test_pbf_mixed_dense_and_plain_nodes_one_shard(spark):
+    """One .osm.pbf carrying BOTH DenseNodes and plain Nodes blocks
+    (spec-legal mix) decodes to the union, ids intact."""
+    from lazyosm_spark.operators.osm import decode_nodes
+
+    dense = pd.DataFrame(
+        [(1, 10, 20, {"a": "1"}), (2, 30, 40, {})],
+        columns=["id", "qlon", "qlat", "tags"],
+    )
+    plain = pd.DataFrame(
+        [(100, -10, -20, {"b": "2"}), (101, -30, -40, {})],
+        columns=["id", "qlon", "qlat", "tags"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "mix.osm.pbf")
+        pbf.write_pbf_shard(path, nodes=dense, plain_nodes=plain)
+        got = {
+            r["id"]: (dict(r["tags"]), r["lon"], r["lat"])
+            for r in decode_nodes(pbf.read_pbf(spark, path)["nodes_encoded"]).collect()
+        }
+        assert set(got) == {1, 2, 100, 101}
+        assert got[1][0] == {"a": "1"} and got[100][0] == {"b": "2"}
+        assert got[100][1] == 1e-9 * (100 * -10) and got[100][2] == 1e-9 * (100 * -20)
+
+
 def test_pbf_header_roundtrip_and_capability_check(spark):
     """OSMHeader decode (top_level.go:328-373): bbox x1e-9 round-trips,
     replication metadata lands in the header table, and a shard whose
