@@ -1449,7 +1449,12 @@ def q_fx_ivf(spark, sf_dir):
     pytest-gated (test_similarity.test_ivf_recall_vs_exact)."""
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.ivf_ann_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=16
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=16,
+        nprobe=16,
+        lloyd_iters=1,  # refinement exercised; nprobe=all stays exact
     )
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
