@@ -1699,6 +1699,68 @@ def q_fx_stream_sessionize(spark, sf_dir):
     )
 
 
+def _bucket_dedup_sql(n_hashes: int = 8, bands: int = 4, ngram: int = 3) -> str:
+    """SQL twin of the streaming LSH bucket-dedup decision: a doc has a
+    collision iff ANY of its band buckets is shared with a LOWER doc_id
+    (arrival order == doc_id order across the waves)."""
+    from lazyosm_spark.functions.hashing import shingles_sql
+
+    sh = shingles_sql("text", ngram)
+    sig_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> {md5_long_sql('s', seed=i)})) AS sig_{i}"
+        for i in range(n_hashes)
+    )
+    rpb = n_hashes // bands
+    key_cols = ", ".join(
+        "concat_ws('_', "
+        + ", ".join(f"sig_{b * rpb + r}" for r in range(rpb))
+        + f") AS k{b}"
+        for b in range(bands)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, k{b} AS key FROM k" for b in range(bands)
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {sh} AS sh FROM documents),
+g AS (SELECT doc_id, sh, {sig_cols} FROM s),
+k AS (SELECT doc_id, {key_cols} FROM g),
+b AS ({unions}),
+coll AS (SELECT b.doc_id, b.band,
+                max(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS c
+         FROM b LEFT JOIN b e
+           ON e.band = b.band AND e.key = b.key AND e.doc_id < b.doc_id
+         GROUP BY b.doc_id, b.band)
+SELECT doc_id, (max(c) = 1) AS any_collision FROM coll GROUP BY doc_id
+"""
+
+
+@_register_fixture("fx_streaming_lsh_dedup", _bucket_dedup_sql())
+def q_fx_stream_lsh(spark, sf_dir):
+    """Streaming LSH bucket-dedup over two doc_id-ordered waves: the
+    keyed bucket state spans micro-batches; per-doc collision flags
+    equal the pure-SQL EXISTS-an-earlier-doc rule."""
+    import os as _os
+    import tempfile
+
+    from lazyosm_spark.streaming.pipeline import stream_minhash_bucket_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    split = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    d = tempfile.mkdtemp(prefix="slsh_q_")
+    docs.filter(F.col("doc_id") <= split).write.parquet(_os.path.join(d, "in", "w1"))
+    docs.filter(F.col("doc_id") > split).write.parquet(_os.path.join(d, "in", "w2"))
+    q = stream_minhash_bucket_dedup(
+        spark, _os.path.join(d, "in") + "/*", "doc_id long, text string",
+        _os.path.join(d, "out"), _os.path.join(d, "ck"),
+    )
+    q.awaitTermination(240)
+    return (
+        spark.read.parquet(_os.path.join(d, "out"))
+        .groupBy("doc_id")
+        .agg(F.max("collided").alias("any_collision"))
+    )
+
+
 @_register_fixture(
     "fx_stateful_stream_dedup",
     f"""

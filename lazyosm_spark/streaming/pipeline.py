@@ -95,6 +95,90 @@ def windowed_event_counts(
     )
 
 
+BUCKET_OUT_SCHEMA = "doc_id long, band int, collided boolean"
+BUCKET_STATE_SCHEMA = "owner long"
+
+
+def _bucket_state_fn(key, pdfs, state):
+    """One (band, key) LSH bucket: the first-arriving doc owns it; every
+    later arrival is a collision.  Within a batch, arrival order = doc_id
+    order (the kernel sorts), so across ordered waves the rule is
+    exactly 'an earlier doc shares this bucket' — the SQL oracle's
+    EXISTS(e.doc_id < d.doc_id)."""
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+    occupied = state.exists
+    collided = [True] * len(rows)
+    if not occupied:
+        collided[0] = False
+        state.update((int(rows["doc_id"].iloc[0]),))
+    return iter(
+        [
+            pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"].to_numpy(),
+                    "band": rows["band"].to_numpy(),
+                    "collided": collided,
+                }
+            )
+        ]
+    )
+
+
+def stream_minhash_bucket_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    input_schema: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> StreamingQuery:
+    """Streaming LSH near-dup detection: each arriving doc's minhash
+    band keys (same signatures as the batch operator) probe keyed state
+    per (band, bucket); a doc whose EVERY band lands in a fresh bucket
+    is novel, any occupied bucket marks a candidate collision.  Sink
+    rows are per-band (doc_id, band, collided); aggregate max(collided)
+    per doc for the keep/flag decision (the driver query does, against
+    a pure-SQL EXISTS oracle).  Candidate-level semantics: collisions
+    are LSH candidates, the exact-verify stage is the batch
+    minhash_lsh_pairs."""
+    from lazyosm_spark.operators.dedup import (
+        minhash_signatures_from_shingles,
+        with_shingles,
+    )
+
+    stream = spark.readStream.schema(input_schema).parquet(input_dir)
+    sigs = minhash_signatures_from_shingles(
+        with_shingles(stream), n_hashes=n_hashes
+    )
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *parts).alias("key"))
+        )
+    exploded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    out = exploded.groupBy("band", "key").applyInPandasWithState(
+        _bucket_state_fn,
+        outputStructType=BUCKET_OUT_SCHEMA,
+        stateStructType=BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # ------------------------------------------------- stateful streaming ----
 
 DEDUP_OUT_SCHEMA = "text_hash long, doc_id long, first_epoch long"

@@ -143,6 +143,48 @@ def test_stream_sessionize_state_spans_restarts(spark):
         assert got == want
 
 
+def test_stream_lsh_bucket_dedup_state_spans_restarts(spark):
+    """A wave-2 doc whose minhash buckets were claimed in wave 1 (run 1)
+    must be flagged after a restart (run 2, same checkpoint) — the
+    bucket ownership lives in the state store, not the batch."""
+    from lazyosm_spark.streaming.pipeline import stream_minhash_bucket_dedup
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different words about harbors ships tides and salt"
+    wave1 = [(1, text_a), (2, text_b)]
+    wave2 = [(3, text_a), (4, "novel content unlike anything else before here now")]
+
+    with tempfile.TemporaryDirectory() as d:
+        in_dir, out_dir, ck = (
+            os.path.join(d, "in"), os.path.join(d, "out"), os.path.join(d, "ck"),
+        )
+        spark.createDataFrame(wave1, "doc_id long, text string").coalesce(1).write.parquet(
+            os.path.join(in_dir, "w1")
+        )
+        q1 = stream_minhash_bucket_dedup(
+            spark, in_dir + "/*", "doc_id long, text string", out_dir, ck
+        )
+        q1.awaitTermination(120)
+        spark.createDataFrame(wave2, "doc_id long, text string").coalesce(1).write.parquet(
+            os.path.join(in_dir, "w2")
+        )
+        q2 = stream_minhash_bucket_dedup(
+            spark, in_dir + "/*", "doc_id long, text string", out_dir, ck
+        )
+        q2.awaitTermination(120)
+
+        flags = {
+            r["doc_id"]: r["c"]
+            for r in spark.read.parquet(out_dir)
+            .groupBy("doc_id")
+            .agg(F.max("collided").alias("c"))
+            .collect()
+        }
+        assert flags[1] is False and flags[2] is False  # wave-1 originals
+        assert flags[3] is True    # exact dup of doc 1, across the restart
+        assert flags[4] is False   # genuinely novel
+
+
 def test_watermark_drops_late_events(spark):
     """Append-mode watermarked windows: an event arriving in a later
     run, older than the advanced watermark, must NOT change its (long
