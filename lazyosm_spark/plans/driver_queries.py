@@ -1251,6 +1251,40 @@ def q_asof_pandas(spark, sf_dir):
 
 
 @_register(
+    "range_join_agg",
+    """
+SELECT o.o_orderkey AS interval_id,
+       CAST(count(*) AS BIGINT) AS n_in_range,
+       CAST(round(sum(l.l_extendedprice * 100)) AS BIGINT) AS sum_cents
+FROM orders o JOIN lineitem l
+  ON l.l_extendedprice BETWEEN o.o_totalprice AND o.o_totalprice + 1000.0
+GROUP BY 1
+""",
+)
+def q_range_join(spark, sf_dir):
+    """Range (interval) join via bucketized equi-join
+    (operators/ranges.py) — no cartesian/BNL node — rolled up per
+    interval; oracle = the plain BETWEEN join DuckDB evaluates
+    exactly."""
+    from lazyosm_spark.operators.ranges import range_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("point_id"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("interval_id"),
+        F.col("o_totalprice").alias("lo"),
+        (F.col("o_totalprice") + 1000.0).alias("hi"),
+    )
+    out = range_join(li, o, bucket_width=1000.0)
+    return out.groupBy("interval_id").agg(
+        F.count("*").cast("long").alias("n_in_range"),
+        F.round(F.sum(F.col("value") * 100)).cast("long").alias("sum_cents"),
+    )
+
+
+@_register(
     "percentiles",
     """
 SELECT l_returnflag,
