@@ -1250,6 +1250,49 @@ def q_asof_pandas(spark, sf_dir):
     return asof_join_pandas(clicks, views).select("event_id", "secs_since_view")
 
 
+def _kmv_sql() -> str:
+    from lazyosm_spark.operators.sketches import kmv_distinct_sql
+
+    return kmv_distinct_sql("lineitem", "l_returnflag", "l_partkey", k=64)
+
+
+@_register("kmv_distinct_sketch", _kmv_sql())
+def q_kmv(spark, sf_dir):
+    """KMV distinct-count sketch (deterministic md5 k-minimums) —
+    estimate reproduced bit-for-bit by the DuckDB twin; accuracy is
+    pytest-gated (~1/sqrt(k))."""
+    from lazyosm_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(
+        _t(spark, sf_dir, "lineitem"), "l_returnflag", "l_partkey", k=64
+    )
+
+
+@_register(
+    "hypertable_rollup",
+    """
+SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket_start,
+       event_type AS key, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', date_trunc('day', ts), event_type, CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+FROM events GROUP BY 2, 3
+""",
+)
+def q_hypertable(spark, sf_dir):
+    """Multi-granularity continuous aggregate: the engine derives the
+    day level FROM the hour level (one raw scan); the oracle computes
+    BOTH levels directly from raw — hash equality proves the rollup
+    reuse is lossless."""
+    from lazyosm_spark.operators.hypertable import hypertable_rollup
+
+    return hypertable_rollup(
+        _t(spark, sf_dir, "events"), granularities=("hour", "day")
+    )
+
+
 @_register(
     "range_join_agg",
     """
