@@ -46,6 +46,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from lazyosm_spark.plans.driver_queries import ORACLES
+    # same priority order as queries() so a capped driver run pairs
+    # each executed query with its oracle
+    from lazyosm_spark.plans.driver_queries import ORACLES, all_queries
 
-    return dict(ORACLES)
+    out = {n: ORACLES[n] for n in all_queries() if n in ORACLES}
+    out.update({n: s for n, s in ORACLES.items() if n not in out})
+    return out

