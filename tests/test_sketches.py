@@ -62,3 +62,67 @@ def test_kmv_merge_composes(spark):
         .first()["est"]
     )
     assert round(merged, 6) == whole
+
+
+def test_kmv_bounded_state_million_distinct():
+    """Stream 10^6 distinct hashes through THE merge function the
+    executor partial runs (_kmv_merge): retained state never exceeds k
+    int64s, and the final sketch equals the true k minima — the bound
+    that makes the operator safe on a 100 TB high-cardinality group."""
+    import numpy as np
+
+    from lazyosm_spark.operators.sketches import _kmv_merge
+
+    k = 64
+    rng = np.random.default_rng(7)
+    hashes = rng.choice(np.int64(1) << 60, size=1_000_000, replace=False).astype(
+        np.int64
+    )
+    state = np.empty(0, dtype=np.int64)
+    max_retained = 0
+    for off in range(0, len(hashes), 10_000):
+        state = _kmv_merge(state, hashes[off : off + 10_000], k)
+        max_retained = max(max_retained, len(state))
+    assert max_retained <= k
+    assert np.array_equal(state, np.sort(hashes)[:k])
+
+
+def test_kmv_bounded_equals_unbounded(spark):
+    """The O(k)-partial path is bit-identical to the collect_set twin
+    (10^6 distinct values, one group, worker-side state assertion ON):
+    partial truncation loses nothing because k-minima distribute over
+    union."""
+    from lazyosm_spark.operators.sketches import kmv_distinct
+
+    df = spark.range(1_000_000).selectExpr("'g' AS grp", "id AS v")
+    k = 64
+    bounded = kmv_distinct(
+        df, "grp", "v", k=k, bounded=True, max_state_hashes=k
+    ).first()
+    unbounded = kmv_distinct(df, "grp", "v", k=k, bounded=False).first()
+    assert bounded["n_seen"] == unbounded["n_seen"] == k
+    assert bounded["est_distinct"] == unbounded["est_distinct"]
+
+
+def test_kmv_null_values_and_groups(spark):
+    """Null values are skipped (sentinel path) exactly like collect_set
+    does in the unbounded twin; an all-null group still emits a row."""
+    from lazyosm_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 2), ("b", None)],
+        "grp string, v long",
+    )
+    rows = {
+        r["group"]: r
+        for r in kmv_distinct(df, "grp", "v", k=8, bounded=True).collect()
+    }
+    assert rows["a"]["n_seen"] == 2 and rows["a"]["est_distinct"] == 2.0
+    assert rows["b"]["n_seen"] == 0 and rows["b"]["est_distinct"] == 0.0
+    un = {
+        r["group"]: r
+        for r in kmv_distinct(df, "grp", "v", k=8, bounded=False).collect()
+    }
+    assert {g: (r["n_seen"], r["est_distinct"]) for g, r in rows.items()} == {
+        g: (r["n_seen"], r["est_distinct"]) for g, r in un.items()
+    }
