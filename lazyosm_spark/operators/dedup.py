@@ -355,12 +355,202 @@ def _simhash_blocks(n_bits: int, n_blocks: int) -> list[tuple[int, int]]:
     return out
 
 
+def _extract_bits(h: F.Column, ranges: list[tuple[int, int]]) -> F.Column:
+    """Gather the (offset, width) bit ranges of ``h`` into one packed
+    long (shift counts are Python ints — Column-valued shifts are not
+    supported, so arithmetic stays literal)."""
+    acc = None
+    shift = 0
+    for off, w in ranges:
+        part = F.shiftright(h, off).bitwiseAND(F.lit((1 << w) - 1).cast("long"))
+        term = part * F.lit(1 << shift).cast("long") if shift else part
+        acc = term if acc is None else acc + term
+        shift += w
+    return acc
+
+
+def _partition_ranges(
+    ranges: list[tuple[int, int]], n_parts: int
+) -> list[list[tuple[int, int]]]:
+    """Partition a set of disjoint bit ranges into n_parts disjoint
+    groups of as-even-as-possible total width."""
+    positions = [off + i for off, w in ranges for i in range(w)]
+    total = len(positions)
+    out: list[list[tuple[int, int]]] = []
+    start = 0
+    for p in range(n_parts):
+        width = total // n_parts + (1 if p < total % n_parts else 0)
+        chunk = positions[start : start + width]
+        start += width
+        # re-pack contiguous runs of bit positions into (off, w) ranges
+        runs: list[tuple[int, int]] = []
+        for pos in chunk:
+            if runs and runs[-1][0] + runs[-1][1] == pos:
+                runs[-1] = (runs[-1][0], runs[-1][1] + 1)
+            else:
+                runs.append((pos, 1))
+        out.append(runs)
+    return out
+
+
+def _split_bands(
+    sims: DataFrame,
+    max_hamming: int,
+    n_blocks: int,
+    bucket_threshold: int | None,
+    max_split_depth: int = 4,
+) -> DataFrame:
+    """Band table (doc_id, simhash, spec, key) whose buckets are all
+    <= bucket_threshold docs (except soundness/depth fallbacks), built
+    by recursively splitting hot buckets — the Manku et al. (WWW'07)
+    move that keeps the band self-join from going quadratic when
+    pigeonhole bands are narrow (n_blocks = r+1 over 60 bits is ~6.7
+    bits -> <=128 distinct keys per band).
+
+    EXACTNESS INVARIANT: a pair with hamming <= r shares >= 1 level-0
+    block (pigeonhole over r+1 disjoint blocks).  Inside a shared hot
+    bucket both docs agree on every key bit of the bucket's path, so
+    their diffs all lie in the REMAINING bits and still number <= r —
+    splitting the bucket's docs over r+1 disjoint sub-blocks of those
+    remaining bits re-applies the pigeonhole, so they share >= 1 child
+    bucket.  Splitting stops (bucket joined as-is) when remaining bits
+    <= r (no sound split exists) or max_split_depth is hit."""
+    r = max_hamming
+    # spec id -> key-path bit ranges USED so far
+    specs: dict[int, list[tuple[int, int]]] = {}
+    level0 = []
+    for i, (off, width) in enumerate(_simhash_blocks(60, n_blocks)):
+        specs[i] = [(off, width)]
+        level0.append(
+            F.struct(
+                F.lit(i).alias("spec"),
+                _extract_bits(F.col("simhash"), [(off, width)])
+                .cast("string")
+                .alias("key"),
+            )
+        )
+    bands = sims.select(
+        "doc_id", "simhash", F.explode(F.array(*level0)).alias("b")
+    ).select("doc_id", "simhash", F.col("b.spec").alias("spec"), F.col("b.key").alias("key"))
+    if bucket_threshold is None:
+        return bands
+
+    next_spec = n_blocks
+    parts: list[DataFrame] = []
+    for _depth in range(max_split_depth):
+        sizes = bands.groupBy("spec", "key").agg(F.count("*").alias("_n"))
+        # localCheckpoint per level: truncates the lineage (a per-level
+        # when-chain/UDF plan otherwise compounds into multi-MiB task
+        # binaries) and doubles as the one driver action per level
+        tagged = bands.join(sizes, ["spec", "key"]).localCheckpoint()
+        cold = tagged.filter(F.col("_n") <= bucket_threshold).drop("_n")
+        parts.append(cold)
+        hot = tagged.filter(F.col("_n") > bucket_threshold).drop("_n")
+        # which specs CAN split soundly (remaining bits > r)?
+        splittable: dict[int, list[list[tuple[int, int]]]] = {}
+        children: dict[int, list[int]] = {}
+        for sid, used in specs.items():
+            used_bits = {off + i for off, w in used for i in range(w)}
+            remaining = sorted(set(range(60)) - used_bits)
+            if len(remaining) <= r:
+                continue
+            runs: list[tuple[int, int]] = []
+            for pos in remaining:
+                if runs and runs[-1][0] + runs[-1][1] == pos:
+                    runs[-1] = (runs[-1][0], runs[-1][1] + 1)
+                else:
+                    runs.append((pos, 1))
+            splittable[sid] = _partition_ranges(runs, r + 1)
+        if not splittable:
+            parts.append(hot)
+            break
+        split_ids = list(splittable)
+        hot_split = hot.filter(F.col("spec").isin(split_ids))
+        parts.append(hot.filter(~F.col("spec").isin(split_ids)))
+        # tagged is checkpointed, so this count touches no upstream plan
+        if hot_split.count() == 0:
+            break
+        # child layout: sid -> [(child spec id, bit ranges), ...]
+        layout: dict[int, list[tuple[int, list[tuple[int, int]]]]] = {}
+        for sid, sub_blocks in splittable.items():
+            layout[sid] = []
+            for sub in sub_blocks:
+                cid = next_spec
+                next_spec += 1
+                specs[cid] = specs[sid] + sub
+                children.setdefault(sid, []).append(cid)
+                layout[sid].append((cid, sub))
+        bands = _explode_children(hot_split, layout)
+        # only freshly-created child specs are candidates next level
+        specs = {cid: specs[cid] for cids in children.values() for cid in cids}
+    else:
+        # depth exhausted: join the still-hot rows as-is (documented
+        # fallback; exactness is unaffected, only bucket size)
+        parts.append(bands)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _explode_children(
+    hot: DataFrame, layout: dict[int, list[tuple[int, list[tuple[int, int]]]]]
+) -> DataFrame:
+    """Explode each hot band row into its child bands per ``layout``
+    (sid -> [(child spec, bit ranges)]).  One vectorized pandas UDF —
+    a per-spec JVM when-chain over hundreds of specs compounds into
+    multi-MiB codegen, the numpy bit-gather stays O(rows x r)."""
+
+    @F.pandas_udf("array<string>")
+    def child_keys(
+        spec_s: pd.Series, sim_s: pd.Series, key_s: pd.Series
+    ) -> pd.Series:
+        spec_v = spec_s.to_numpy(np.int32)
+        sim_v = sim_s.to_numpy(np.int64).view(np.uint64)
+        keys = key_s.to_numpy(object)
+        out = np.empty(len(spec_v), dtype=object)
+        for sid in np.unique(spec_v):
+            idx = np.flatnonzero(spec_v == sid)
+            sub = sim_v[idx]
+            cols = []
+            for cid, ranges in layout[int(sid)]:
+                packed = np.zeros(len(sub), dtype=np.uint64)
+                shift = 0
+                for off, w in ranges:
+                    packed |= (
+                        (sub >> np.uint64(off)) & np.uint64((1 << w) - 1)
+                    ) << np.uint64(shift)
+                    shift += w
+                cols.append((cid, packed))
+            for j, i in enumerate(idx):
+                out[i] = [f"{cid}:{keys[i]}_{pk[j]}" for cid, pk in cols]
+        return pd.Series(out)
+
+    return (
+        hot.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                child_keys(F.col("spec"), F.col("simhash"), F.col("key"))
+            ).alias("c"),
+        )
+        .select(
+            "doc_id",
+            "simhash",
+            F.split(F.col("c"), ":", 2).getItem(0).cast("int").alias("spec"),
+            F.split(F.col("c"), ":", 2).getItem(1).alias("key"),
+        )
+    )
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
     n_blocks: int | None = None,
+    bucket_threshold: int | None = None,
+    max_split_depth: int = 4,
 ) -> DataFrame:
     """EXACT near-dup pairs by SimHash Hamming distance via the standard
     block-pigeonhole trick: split the 60-bit hash into n_blocks bands;
@@ -372,35 +562,29 @@ def simhash_near_pairs(
     pigeonhole guarantee actually hold (recall = 1; the old fixed
     n_blocks=4 silently missed pairs whose diffs spread across all 4
     blocks).  Passing a smaller n_blocks explicitly trades recall for
-    fewer/ wider bands (recall < 1, at-scale knob: narrow bands at
-    large max_hamming mean dense buckets — prefer small max_hamming or
-    explicit n_blocks there).  -> (doc_id_a, doc_id_b, hamming)."""
+    fewer/wider bands (recall < 1).
+
+    ``bucket_threshold`` is the at-scale lever: with r+1 blocks over 60
+    bits, band keys are only ~6.7 bits wide (<=128 values), so at
+    corpus scale every bucket holds ~n/128 docs and the band self-join
+    goes quadratic.  Setting a threshold recursively splits any hotter
+    bucket by r+1 disjoint sub-blocks of its UNUSED bits (exact — see
+    _split_bands), multiplying only the hot rows by r+1 per level while
+    dividing their bucket sizes by ~2^(new key width).  Recall stays 1
+    either way; pytest pins both paths equal to brute force.
+    -> (doc_id_a, doc_id_b, hamming)."""
     if n_blocks is None:
         n_blocks = max_hamming + 1
     if not 1 <= n_blocks <= 60:
         raise ValueError(f"n_blocks must be in [1, 60], got {n_blocks}")
     sims = simhash64(docs, id_col, text_col)
-    bands = sims.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("block"),
-                        F.shiftright(F.col("simhash"), off)
-                        .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
-                        .alias("key"),
-                    )
-                    for i, (off, width) in enumerate(_simhash_blocks(60, n_blocks))
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "simhash", F.col("b.block").alias("block"), F.col("b.key").alias("key"))
+    if bucket_threshold is not None:
+        sims = sims.persist()
+    bands = _split_bands(sims, max_hamming, n_blocks, bucket_threshold, max_split_depth)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
-        a.join(b, ["block", "key"])
+        a.join(b, ["spec", "key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_id_a"),

@@ -173,6 +173,85 @@ def test_simhash_near_pairs_exact_pigeonhole(spark):
     assert banded == brute
 
 
+def test_simhash_split_bands_bounds_hot_bucket(spark):
+    """A deliberately hot band bucket (400 docs sharing block 0's 7
+    bits, everything else random) is recursively split below the
+    threshold, and the banded join over the split table still finds
+    exactly the brute-force pairs — the Manku-style move that keeps the
+    self-join from going quadratic at corpus scale."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lazyosm_spark.operators.dedup import _split_bands
+
+    rng = np.random.default_rng(11)
+    n, thresh, r = 400, 16, 8
+    hashes = (
+        (rng.integers(0, 1 << 53, size=n, dtype=np.int64) << 7) | 0x2A
+    ).tolist()  # low 7 bits (block 0 at n_blocks=9) identical -> hot
+    sims = spark.createDataFrame(
+        list(enumerate(hashes)), "doc_id long, simhash long"
+    )
+    bands = _split_bands(sims, r, r + 1, thresh, max_split_depth=4).persist()
+
+    # bound: no bucket with >1 distinct simhash exceeds the threshold
+    # (a bucket of IDENTICAL hashes is irreducible by construction)
+    over = (
+        bands.groupBy("spec", "key")
+        .agg(F.count("*").alias("n"), F.countDistinct("simhash").alias("d"))
+        .filter((F.col("n") > thresh) & (F.col("d") > 1))
+        .count()
+    )
+    assert over == 0
+    # the level-0 block-0 bucket WAS hot (sanity: the split actually ran)
+    assert bands.filter(F.col("spec") >= r + 1).count() > 0
+
+    # exactness: band join == brute force
+    a, b = bands.alias("a"), bands.alias("b")
+    banded = {
+        (r_["da"], r_["db"])
+        for r_ in a.join(b, ["spec", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("h"),
+        )
+        .filter(F.col("h") <= r)
+        .distinct()
+        .collect()
+    }
+    sa = sims.selectExpr("doc_id da", "simhash xa")
+    sb = sims.selectExpr("doc_id db", "simhash xb")
+    brute = {
+        (r_["da"], r_["db"])
+        for r_ in sa.crossJoin(sb)
+        .filter(F.col("da") < F.col("db"))
+        .filter(F.bit_count(F.col("xa").bitwiseXOR(F.col("xb"))) <= r)
+        .collect()
+    }
+    assert banded == brute
+    bands.unpersist()
+
+
+def test_simhash_near_pairs_split_equals_default(spark):
+    """bucket_threshold is pure plan shaping: the split path emits the
+    identical pair set (values included) as the single-level bands."""
+    from lazyosm_spark.operators.dedup import simhash_near_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = {
+        tuple(r) for r in simhash_near_pairs(docs, max_hamming=8).collect()
+    }
+    split = {
+        tuple(r)
+        for r in simhash_near_pairs(
+            docs, max_hamming=8, bucket_threshold=8, max_split_depth=3
+        ).collect()
+    }
+    assert base == split and len(base) > 0
+
+
 def test_minhash_lsh_recall_vs_exact(spark):
     from lazyosm_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
