@@ -190,6 +190,136 @@ def knn_brute(queries: DataFrame, points: DataFrame, k: int) -> DataFrame:
     return _topk(cand, k)
 
 
+def phash_hamming_knn(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+    radii: tuple[int, ...] = (2, 6, 14, 30, 62),
+    fallback_salt: int = 32,
+) -> DataFrame:
+    """EXACT top-k by 64-bit Hamming distance with NO cross join — the
+    scale path for large query panels (phash_hamming_topk is
+    scan x |queries| by design and only fits small panels).
+
+    Radius-escalation ladder (grid_knn's structure on Hamming space):
+    at radius r, pigeonhole-band both sides into r+1 disjoint bit
+    blocks (a pair within r differing bits shares >= 1 exact block,
+    dedup._simhash_blocks) and equi-join per band.  Candidates within
+    r are COMPLETE, so a query whose rank-k candidate has dist <= r is
+    exact and retires; the rest escalate to a larger radius (more,
+    narrower bands).  Queries still pending after the last radius
+    (kth neighbor differs in > radii[-1] of 64 bits — genuinely
+    exhaustive territory) finish on a salted equi-join: items get
+    pmod(xxhash64(id), salt), queries replicate over the salt values —
+    a shuffled hash/SMJ plan, never a BroadcastNestedLoopJoin or
+    CartesianProduct node (plan-audited).
+
+    Arithmetic-shift note: F.shiftright sign-extends, but masking to
+    the block width keeps the true bit field, so the sign bit (bit 63)
+    bands correctly.  Ties break by (dist, neighbor_id) ascending.
+    -> (query_id, neighbor_id, rank, dist)."""
+    from lazyosm_spark.operators.dedup import _simhash_blocks
+
+    it = items.select(
+        F.col(id_col).alias("neighbor_id"), F.col(hash_col).alias("nhash")
+    ).persist()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    wq = Window.partitionBy("query_id")
+
+    def banded(df: DataFrame, hcol: str, blocks) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("block"),
+                            F.shiftright(F.col(hcol), off)
+                            .bitwiseAND(F.lit((1 << wd) - 1).cast("long"))
+                            .alias("key"),
+                        )
+                        for bi, (off, wd) in enumerate(blocks)
+                    ]
+                )
+            ).alias("b"),
+        ).select(*df.columns, F.col("b.block").alias("block"), F.col("b.key").alias("key"))
+
+    def topk(cand: DataFrame) -> DataFrame:
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    pending = queries.select(
+        F.col(id_col).alias("query_id"), F.col(hash_col).alias("qhash")
+    )
+    parts: list[DataFrame] = []
+    exhausted = True
+    for r in radii:
+        blocks = _simhash_blocks(64, r + 1)
+        cand = (
+            banded(pending, "qhash", blocks)
+            .join(banded(it, "nhash", blocks), ["block", "key"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.bit_count(F.col("qhash").bitwiseXOR(F.col("nhash")))
+                .cast("long")
+                .alias("dist"),
+            )
+            .distinct()  # a pair can share several bands
+        )
+        # accept a query iff its rank-k dist <= r: candidates within r
+        # are complete by pigeonhole, so that top-k is provably exact
+        kth = F.max(F.when(F.col("rank") == k, F.col("dist"))).over(wq)
+        ok = (
+            topk(cand)
+            .withColumn("kth", kth)
+            .filter(F.col("kth") <= r)
+            .select("query_id", "neighbor_id", "rank", "dist")
+            .persist()
+        )
+        parts.append(ok)
+        nxt = pending.join(
+            ok.select("query_id").distinct(), "query_id", "left_anti"
+        ).persist()
+        # the one driver action per level (materializes ok's cache too)
+        if nxt.count() == 0:
+            exhausted = False
+            break
+        pending = nxt
+    if exhausted:
+        # salted exact fallback for the (normally empty) residue
+        ib = it.withColumn(
+            "jk", F.pmod(F.xxhash64("neighbor_id"), F.lit(fallback_salt)).cast("int")
+        )
+        qb = pending.select(
+            "*",
+            F.explode(F.array(*[F.lit(i) for i in range(fallback_salt)])).alias("jk"),
+        )
+        cand = (
+            qb.join(ib, "jk")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.bit_count(F.col("qhash").bitwiseXOR(F.col("nhash")))
+                .cast("long")
+                .alias("dist"),
+            )
+        )
+        parts.append(topk(cand).select("query_id", "neighbor_id", "rank", "dist"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def phash_hamming_topk(
     items: DataFrame, queries: DataFrame, k: int, id_col: str = "image_id", hash_col: str = "phash"
 ) -> DataFrame:
@@ -197,7 +327,8 @@ def phash_hamming_topk(
 
     Reuses the reference's byte-vector Hamming idea
     (shortest_path.go:60-96) as bit_count(xor) on packed longs — fully
-    JVM-side.  Queries broadcast (small side)."""
+    JVM-side.  Queries broadcast (small side); scan x |queries| work,
+    so SMALL PANELS ONLY — phash_hamming_knn is the scale path."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(hash_col).alias("qhash")
     )

@@ -965,13 +965,16 @@ WHERE rnk <= 5
 """,
 )
 def q_fx_phash_knn(spark, sf_dir):
-    from lazyosm_spark.operators.knn import phash_hamming_topk
+    """Runs the at-scale banded radius-ladder (phash_hamming_knn — no
+    crossJoin anywhere); pytest pins it equal to phash_hamming_topk,
+    and the oracle is the SQL brute force over the golden phashes."""
+    from lazyosm_spark.operators.knn import phash_hamming_knn
     from lazyosm_spark.sources.fixtures import load_fixtures
 
     fx = load_fixtures(spark, _fixture_scale(sf_dir))
     images = fx["images"]
     queries = images.filter(F.col("image_id") <= "img_000000000009")
-    return phash_hamming_topk(images, queries, k=5).select(
+    return phash_hamming_knn(images, queries, k=5).select(
         "query_id", "neighbor_id", "dist", F.col("rank").cast("long").alias("rank")
     ).orderBy("query_id", "rank")
 

@@ -213,6 +213,94 @@ def test_grid_knn_equals_bruteforce(spark):
     assert got == want
 
 
+def _phash_corpus(spark, n_items: int, n_queries: int, n_clusters: int):
+    """Deterministic near-dup phash world: cluster base = xxhash64 of
+    the cluster id; members/queries flip 1..8 bits off the base —
+    mirrors the real phash regime (tight clusters, small kth dist)."""
+    from pyspark.sql import functions as F
+
+    def flips(j_expr, seed: int):
+        h = F.xxhash64(F.col("cluster").cast("string"))
+        for t in range(8):
+            bit = F.expr(
+                f"shiftleft(cast(1 as bigint), cast((id * {seed} + {t} * 7) % 59 as int))"
+            )
+            h = F.when(F.lit(t) < j_expr, h.bitwiseXOR(bit)).otherwise(h)
+        return h
+
+    items = (
+        spark.range(n_items)
+        .withColumn("cluster", F.col("id") % n_clusters)
+        .select(
+            F.concat(F.lit("i"), F.lpad(F.col("id").cast("string"), 6, "0")).alias(
+                "image_id"
+            ),
+            flips(F.col("id") % 3, 13).alias("phash"),
+        )
+    )
+    queries = (
+        spark.range(n_queries)
+        .withColumn("cluster", F.col("id") % n_clusters)
+        .select(
+            F.concat(F.lit("q"), F.lpad(F.col("id").cast("string"), 6, "0")).alias(
+                "image_id"
+            ),
+            flips(F.col("id") % 8, 29).alias("phash"),
+        )
+    )
+    return items, queries
+
+
+def test_phash_hamming_knn_equals_brute(spark):
+    """The banded radius-ladder kNN must equal the crossJoin brute
+    force exactly (ids, ranks, distances) on a 10^4-query panel, and
+    its plan must contain no CartesianProduct/BroadcastNestedLoopJoin —
+    the scan x |queries| shape the ladder exists to kill."""
+    import io
+    from contextlib import redirect_stdout
+
+    from lazyosm_spark.operators.knn import phash_hamming_knn, phash_hamming_topk
+
+    items, queries = _phash_corpus(spark, 4000, 10_000, 500)
+    items, queries = items.persist(), queries.persist()
+    out = phash_hamming_knn(items, queries, k=5)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["dist"])
+        for r in out.collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["dist"])
+        for r in phash_hamming_topk(items, queries, k=5).collect()
+    }
+    assert got == want and len(got) == 50_000
+
+
+def test_phash_hamming_knn_fallback_exact(spark):
+    """Queries whose kth neighbor is beyond the last radius finish on
+    the salted equi-join fallback — still exact."""
+    from pyspark.sql import functions as F
+
+    from lazyosm_spark.operators.knn import phash_hamming_knn, phash_hamming_topk
+
+    rows = [("a", 0), ("b", -1), ("c", 0x0F0F0F0F0F0F0F0F), ("d", 3)]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["dist"])
+        for r in phash_hamming_knn(df, df, k=3, radii=(2,)).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["dist"])
+        for r in phash_hamming_topk(df, df, k=3).collect()
+    }
+    assert got == want and len(got) == 12
+
+
 def test_cell_hierarchy_invariants(spark):
     from lazyosm_spark.functions import cells
 

@@ -126,6 +126,16 @@ def main() -> None:
     ]
     sections.append(("grid_knn (cell-ring expansion, no brute force)", p, checks))
 
+    # 7. phash Hamming kNN: banded radius ladder — same no-cartesian
+    # guarantee as grid_knn, now for Hamming space (VERDICT r2 #3)
+    q7 = dq.FIXTURE_QUERIES["fx_phash_hamming_knn"](spark, SF_DIR)
+    p = plan_of(q7)
+    checks = [
+        ("no CartesianProduct node anywhere", "CartesianProduct" not in p),
+        ("no BroadcastNestedLoopJoin fallback", "BroadcastNestedLoopJoin" not in p),
+    ]
+    sections.append(("phash_hamming_knn (pigeonhole band ladder)", p, checks))
+
     ok = True
     lines = ["# Physical-plan audit (generated by tools/explain_plans.py)\n"]
     for name, plan, checks in sections:
