@@ -65,6 +65,56 @@ def test_connected_components_long_chain(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_star_components_match_hash_to_min(spark):
+    """large-star/small-star == hash-to-min == scalar union-find on
+    random graphs (shuffled ids so min-roots aren't trivially
+    positional)."""
+    from lazyosm_spark.operators.graph import connected_components
+
+    rng = np.random.default_rng(23)
+    for n, n_edges in [(60, 25), (150, 120), (100, 300)]:
+        edges = [
+            (int(rng.integers(0, n)), int(rng.integers(0, n)))
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        want = _dsu_components(n, edges)
+        nodes_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edges_df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                nodes_df, edges_df, algorithm="star"
+            ).collect()
+        }
+        assert got == want, (n, n_edges)
+
+
+def test_star_components_path_graph_log_rounds(spark):
+    """The adversarial case hash-to-min is slow on: a 10^4-node path
+    graph (diameter 10^4).  The star algorithm must converge in
+    O(log n) rounds — asserted <= ~2 log2(n) — and still produce the
+    exact single component."""
+    from pyspark.sql import functions as F
+
+    from lazyosm_spark.operators.graph import connected_components
+
+    n = 10_000
+    nodes_df = spark.range(n).select(F.col("id"))
+    edges_df = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    stats: dict = {}
+    out = connected_components(
+        nodes_df, edges_df, algorithm="star", stats=stats
+    )
+    assert out.filter(F.col("component") != 0).count() == 0
+    assert out.count() == n
+    import math
+
+    assert stats["rounds"] <= 2 * math.ceil(math.log2(n)), stats
+
+
 def test_dedup_representatives(spark):
     from lazyosm_spark.operators.graph import dedup_representatives
 
