@@ -60,6 +60,7 @@ def grid_knn(
     start_ring: int = 1,
     level_step: int = 2,
     target_candidates: int | None = None,
+    n_points: int | None = None,
 ) -> DataFrame:
     """queries(query_id, lon, lat) × points(point_id, lon, lat) ->
     exact (query_id, neighbor_id, rank, dist).
@@ -71,7 +72,8 @@ def grid_knn(
     over-coarse cells waste a multiple of the whole runtime.  The
     result is res-INVARIANT (exactness comes from the distance bound +
     escalation), so this is pure plan tuning, like AQE picking
-    partition sizes from stats.
+    partition sizes from stats.  ``n_points`` skips the density count
+    job when the caller already knows it (repeat-call fast path).
 
     Levels: resolution res, res-level_step, ... down to the first
     resolution whose grid the ring fully covers (the provably-exact
@@ -81,7 +83,7 @@ def grid_knn(
     if res is None:
         import math
 
-        n = points.count()
+        n = points.count() if n_points is None else n_points
         tc = target_candidates or max(32, 4 * k)
         ring_cells = (2 * start_ring + 1) ** 2
         # pts/cell = n / 4^res; solve ring_cells * pts/cell ~= tc

@@ -68,6 +68,7 @@ def tile_points(
     lat: str = "lat",
     salt: int | None = None,
     broadcast_limit: int = 200_000,
+    n_tiles: int | None = None,
 ) -> DataFrame:
     """points(point_id, lon, lat) × tiles(tile_id, resolution, ring)
     -> exact membership (point_id, tile_id, resolution).
@@ -85,13 +86,17 @@ def tile_points(
     the driver collect, so it falls through to tile_points_shuffle
     (identical output, rings stay distributed) instead of leaving the
     caller a footgun.  ``tile_id`` must be unique (it is the key).
+    ``n_tiles`` is the fast path: pass the (already known) tile count
+    and the dispatch probe costs ZERO jobs — pipelines calling
+    tile_points repeatedly on the same tile pyramid shouldn't re-scan
+    it once per call (a pytest pins that no count job runs).
 
     Ring vertex-on-boundary semantics are the reference Pip's (bottom/
     left inclusive, top/right exclusive) — golden fixtures pin them.
     """
     import numpy as np  # local for the closure
 
-    if tiles.count() > broadcast_limit:
+    if (tiles.count() if n_tiles is None else n_tiles) > broadcast_limit:
         return tile_points_shuffle(points, tiles, point_id, lon, lat, salt)
 
     tile_rows = tiles.select("tile_id", "resolution", "ring").collect()

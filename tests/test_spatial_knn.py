@@ -122,6 +122,40 @@ def test_tile_points_auto_dispatches_to_shuffle(spark, fx):
     assert a == b and len(a) > 0
 
 
+def test_dispatch_counts_cached(spark, fx):
+    """Passing n_tiles / n_points skips the auto-dispatch/auto-res
+    count JOB entirely (instance-level count() is poisoned to prove no
+    call happens) and yields the identical result — the repeated-call
+    fast path for pipelines reusing one tile pyramid / point cloud."""
+    from lazyosm_spark.operators.knn import grid_knn
+    from lazyosm_spark.operators.spatial_join import tile_points
+
+    tiles = fx["tiles"]
+    n_tiles = tiles.count()
+    pts = spark.createDataFrame(
+        [(str(i), -20.0 + i * 0.7, -10.0 + i * 0.4) for i in range(60)],
+        "point_id string, lon double, lat double",
+    )
+    base = sorted(map(tuple, tile_points(pts, tiles).collect()))
+
+    def boom():
+        raise AssertionError("dispatch count() job ran despite the hint")
+
+    poisoned = tiles.select("*")
+    poisoned.count = boom  # instance-level: only the probe would hit it
+    got = sorted(map(tuple, tile_points(pts, poisoned, n_tiles=n_tiles).collect()))
+    assert got == base
+
+    q = pts.selectExpr("point_id as query_id", "lon", "lat").limit(5)
+    base_knn = sorted(map(tuple, grid_knn(q, pts, k=3).collect()))
+    ppois = pts.select("*")
+    ppois.count = boom
+    got_knn = sorted(
+        map(tuple, grid_knn(q, ppois, k=3, n_points=60).collect())
+    )
+    assert got_knn == base_knn
+
+
 def test_polyfill_invariants(spark, fx):
     """Polyfill cells carry resolution+2, their centers are inside the
     tile's cell bbox, and an exact-bbox tile ring polyfills to exactly
