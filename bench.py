@@ -39,6 +39,41 @@ def lineitem_points(spark, sf_dir):
     )
 
 
+def _completed_stages(spark):
+    """Completed stages via the UI REST API (requires spark.ui.enabled)."""
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app}/stages?status=complete"
+    ) as r:
+        return _json.load(r)
+
+
+def _task_spread(spark, after_stage: int) -> float:
+    """max/median executorRunTime of the heaviest stage after the
+    marker — the skew signal: one straggler task owning a hot tile
+    shows up as a large spread."""
+    import json as _json
+    import urllib.request
+
+    stages = [s for s in _completed_stages(spark) if s["stageId"] > after_stage]
+    if not stages:
+        return float("nan")
+    heavy = max(stages, key=lambda s: s.get("executorRunTime", 0))
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = (
+        f"{base}/api/v1/applications/{app}/stages/{heavy['stageId']}/0/"
+        "taskSummary?quantiles=0.0,0.5,1.0"
+    )
+    with urllib.request.urlopen(url) as r:
+        q = _json.load(r)["executorRunTime"]
+    return float(q[2]) / max(float(q[1]), 1.0)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -49,7 +84,13 @@ def main() -> None:
     from lazyosm_spark.sources.fixtures import gen_tiles
 
     spark = get_spark(
-        app="bench", cpus=CPUS, extra_conf={"spark.ui.showConsoleProgress": "false"}
+        app="bench",
+        cpus=CPUS,
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # the skew bench reads per-task run times off the UI REST API
+            "spark.ui.enabled": "true",
+        },
     )
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -109,6 +150,88 @@ def main() -> None:
 
     # q7: cosine top-k over embeddings
     timed("cosine_topk", lambda: dq.QUERIES["cosine_topk"](spark, SF_DIR).count())
+
+    # q8: SKEW world — one hot "city-center" tile (SURVEY §4: salting
+    # is the engine's answer to the reference's LRU-thrash Limit).
+    # ~35% of all points remap into the coarsest tile's cell, so the
+    # unsalted shuffle refine hands one task ~35% of the PIP work;
+    # salt=16 splits that tile's batch across 16 tasks.  Reported:
+    # wall time both ways + max/median task-time spread of the refine
+    # stage (UI REST taskSummary) + the salted speedup.
+    from lazyosm_spark.operators.spatial_join import tile_points_shuffle
+
+    tiles_pdf = gen_tiles()
+    hot = tiles_pdf[tiles_pdf["resolution"] == 3].iloc[0]
+    hres = int(hot["resolution"])
+    hx = (int(hot["tile_id"]) >> 29) & ((1 << 29) - 1)
+    hy = int(hot["tile_id"]) & ((1 << 29) - 1)
+    nx = 1 << hres
+    lon0, lat0 = hx / nx * 360.0 - 180.0, hy / nx * 180.0 - 90.0
+    dlon, dlat = 360.0 / nx, 180.0 / nx
+    phi, phi2 = 0.7548776662466927, 0.5698402909980532
+    # x4 the point cloud so the hot tile's real work dominates the
+    # ~0.3 s/task constant overhead this box carries (SURVEY §8)
+    pts4 = pts.select(
+        "point_id",
+        "lon",
+        "lat",
+        F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("_rep"),
+    ).select(
+        (F.col("point_id") * 4 + F.col("_rep")).alias("point_id"), "lon", "lat"
+    )
+    i = F.col("point_id").cast("double")
+    is_hot = F.pmod(F.col("point_id"), F.lit(100)) < 35
+    pts_skew = pts4.select(
+        "point_id",
+        F.when(
+            is_hot,
+            F.lit(lon0 + 0.02 * dlon)
+            + (i * phi - F.floor(i * phi)) * (0.96 * dlon),
+        ).otherwise(F.col("lon")).alias("lon"),
+        F.when(
+            is_hot,
+            F.lit(lat0 + 0.02 * dlat)
+            + (i * phi2 - F.floor(i * phi2)) * (0.96 * dlat),
+        ).otherwise(F.col("lat")).alias("lat"),
+    ).persist()
+    pts_skew.count()  # materialize outside the timed windows
+
+    def skew_run(salt):
+        done = _completed_stages(spark)
+        marker = max((s["stageId"] for s in done), default=-1)
+        t0 = time.time()
+        n = tile_points_shuffle(pts_skew, tiles, salt=salt).count()
+        dt = time.time() - t0
+        return n, dt, _task_spread(spark, marker)
+
+    # AQE partition coalescing off for this section only: at sf0.1 the
+    # refine shuffle is a few MB, so AQE merges it to ~7 tasks and the
+    # hot tile hides inside a merged task.  At 100 TB partitions are
+    # ~128 MB each and never coalesce away — and AQE's skew handling
+    # cannot split a GROUP (all rows of one tile must meet in one
+    # task), which is exactly why the salt exists.  Wall times and
+    # spreads below therefore reflect the many-partition regime.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        # extras, not timings: the headline total stays comparable
+        # round-over-round (same 7 queries)
+        n_u, dt_u, spread_u = skew_run(None)
+        extras["skew_unsalted_sec"] = round(dt_u, 3)
+        n_s, dt_s, spread_s = skew_run(16)
+        extras["skew_salted_sec"] = round(dt_s, 3)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert n_u == n_s, (n_u, n_s)  # salting is pure plan shaping
+    extras["skew_unsalted_task_spread"] = round(spread_u, 2)
+    extras["skew_salted_task_spread"] = round(spread_s, 2)
+    extras["skew_salted_speedup"] = round(dt_u / dt_s, 2)
+    extras["skew_memberships"] = n_s
+    print(
+        f"# skew: unsalted {dt_u:.1f}s (spread {spread_u:.1f}) -> "
+        f"salted {dt_s:.1f}s (spread {spread_s:.1f})",
+        file=sys.stderr,
+        flush=True,
+    )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -136,6 +136,22 @@ def main() -> None:
     ]
     sections.append(("phash_hamming_knn (pigeonhole band ladder)", p, checks))
 
+    # 8. salted shuffle spatial join: the hot-tile (skew) plan — the
+    # refine groups on (tile_id, salt_b) so no single task owns a dense
+    # city tile (bench.py's skew world measures the task-time spread)
+    from lazyosm_spark.operators.spatial_join import tile_points_shuffle
+
+    sj_s = tile_points_shuffle(pts, tiles, salt=8)
+    p = plan_of(sj_s)
+    checks = [
+        ("refine shuffle keyed on (tile_id, salt_b)",
+         "hashpartitioning(tile_id" in p and "salt_b" in p),
+        ("salt bucket derives from xxhash64(point_id)", "xxhash64" in p),
+        ("grouped PIP refine is a FlatMapGroupsInPandas stage",
+         "FlatMapGroupsInPandas" in p),
+    ]
+    sections.append(("tile_points_shuffle salt=8 (hot-tile skew split)", p, checks))
+
     ok = True
     lines = ["# Physical-plan audit (generated by tools/explain_plans.py)\n"]
     for name, plan, checks in sections:
