@@ -173,8 +173,19 @@ Method notes:
 - Scan splits are sized so tasks >> cores (`--max-partition-mb`,
   default 16MB here; 128MB at 100 TB where files are many).
 """
-        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-            f.write(md)
+        # preserve manually-maintained sections (skew evidence, PBF
+        # throughput appendix) from the existing file
+        path = os.path.join(REPO, "BENCH", "BASELINE.md")
+        tail = ""
+        if os.path.exists(path):
+            old = open(path).read()
+            for marker in ("## Skew evidence", "## Appendix"):
+                idx = old.find(marker)
+                if idx >= 0:
+                    tail = "\n\n" + old[idx:].rstrip() + "\n"
+                    break
+        with open(path, "w") as f:
+            f.write(md + tail)
         print(md)
     finally:
         shutil.rmtree(work, ignore_errors=True)
