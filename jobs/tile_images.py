@@ -113,10 +113,15 @@ def main() -> None:
     feats = pipe.run_stage("decode_features", decoded, key_col="image_id")
     mark("decode_stage")
 
-    # stage 3+4: footprint points -> spatial join (shuffle-free)
+    # stage 3+4: footprint points -> spatial join (shuffle-free).
+    # Points derive from the DECODE CHECKPOINT, not the raw image
+    # table: maxPartitionBytes is computed on full-file bytes, so an
+    # id-only scan of the wide table still fans out to bytes/16MB tiny
+    # tasks (measured ~2x the whole membership stage at low core
+    # counts); the checkpoint is a few MB and scans in a handful.
     i = F.regexp_extract("image_id", r"(\d+)", 1).cast("long").cast("double")
     phi, phi2 = 0.7548776662466927, 0.5698402909980532  # R2 constants
-    pts = images.select(
+    pts = feats.select(
         F.col("image_id").alias("point_id"),
         (F.lit(-180.0) + 360.0 * (i * phi - F.floor(i * phi))).alias("lon"),
         (F.lit(-85.0) + 170.0 * (i * phi2 - F.floor(i * phi2))).alias("lat"),
