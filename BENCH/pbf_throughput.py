@@ -106,8 +106,15 @@ shards ({n_shards + 2} files, {size_mb:.1f} MB, {n_entities:,} entities:
 (The reference publishes no throughput numbers — README.md:4 is
 qualitative — so this is the engine's anchor, not a comparison.)
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
-        f.write(section)
+    # replace any existing PBF appendix instead of appending a duplicate
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    marker = "## Appendix: PBF"
+    old = open(path).read() if os.path.exists(path) else ""
+    idx = old.find(marker)
+    if idx >= 0:
+        old = old[:idx].rstrip() + "\n\n"
+    with open(path, "w") as f:
+        f.write(old + section.lstrip("\n"))
     print(section)
 
 
