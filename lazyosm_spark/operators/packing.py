@@ -1,0 +1,181 @@
+"""Training-sequence packing + deterministic sampling.
+
+The two curation ops every LLM pretraining pipeline runs after dedup:
+
+- pack_sequences: GPT-style concat-then-chunk packing.  Documents are
+  laid end-to-end in a deterministic pseudo-random order (md5 of the
+  doc id — the standard "shuffle then pack" without a real RNG) and
+  the token stream is chunked into fixed ctx_len sequences; each doc
+  reports the sequence its first token lands in and its offset there.
+- stratified_sample: hash-threshold Bernoulli sampling, optionally
+  per-group rates — the reproducible sampler (same doc set at any
+  parallelism, resumable, no RNG state), the standard down-weighting
+  move for over-represented strata.
+
+SCALE DESIGN — the distributed prefix sum: packing needs a GLOBAL
+running sum of token counts in hash order.  A plain window over a
+global ORDER BY is an Exchange SinglePartition — one task owns 100 TB.
+``global_cumsum`` instead range-buckets the (uniform) 60-bit hash into
+n_buckets spans — balanced by construction, no stats pass — computes
+per-bucket partial sums (one small aggregate), prefix-sums the bucket
+offsets on the driver (n_buckets values), and adds the broadcast
+offset to a per-bucket window cumsum.  No single-partition exchange
+anywhere (plan-audited); the result is bit-identical to the one-window
+formulation, which the DuckDB oracle runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lazyosm_spark.functions.hashing import md5_long, md5_long_sql
+
+_HASH_SPAN = 1 << 60  # md5_long range
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Running sum of ``value_col`` over the total order of
+    ``order_col`` (a UNIQUE uniform hash in [0, 2^60)), without a
+    single-partition window: range-bucket the hash, per-bucket partial
+    sums -> driver prefix -> broadcast offsets -> per-bucket window.
+    Appends ``out_col`` (inclusive running sum)."""
+    step = _HASH_SPAN // n_buckets
+    with_b = df.withColumn("_b", (F.col(order_col) / F.lit(step)).cast("int"))
+    # n_buckets partial sums: the only aggregate; rows never leave
+    # their bucket partition for the scan below
+    parts = {
+        int(r["_b"]): int(r["s"])
+        for r in with_b.groupBy("_b").agg(F.sum(value_col).alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(n_buckets):
+        offsets[b] = acc
+        acc += parts.get(b, 0)
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        ),
+        F.col("_b"),
+    )
+    w = Window.partitionBy("_b").orderBy(F.col(order_col).asc())
+    return with_b.withColumn(
+        out_col, (F.sum(value_col).over(w) + off).cast("long")
+    ).drop("_b")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Concat-then-chunk packing: documents concatenated in md5(doc_id)
+    order, token stream chunked every ctx_len.
+    -> (doc_id, seq_id, offset, n_tokens, n_seqs_spanned) where seq_id
+    is the training sequence holding the doc's FIRST token, offset its
+    position there, and n_seqs_spanned how many chunk boundaries the
+    doc crosses + 1 (long docs straddle sequences — by design in
+    concat-then-chunk; filter or split downstream if unwanted)."""
+    h = md5_long(F.col(id_col).cast("string"))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        h.alias("_h"),
+    )
+    cum = global_cumsum(base, "_h", "n_tokens", out_col="_cum", n_buckets=n_buckets)
+    start = F.col("_cum") - F.col("n_tokens")  # first-token position
+    last = F.col("_cum") - 1
+    return cum.select(
+        "doc_id",
+        F.floor(start / ctx_len).cast("long").alias("seq_id"),
+        (start % ctx_len).cast("long").alias("offset"),
+        "n_tokens",
+        F.when(F.col("n_tokens") > 0, (F.floor(last / ctx_len) - F.floor(start / ctx_len) + 1))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("n_seqs_spanned"),
+    )
+
+
+def pack_sequences_sql(
+    table: str,
+    ctx_len: int,
+    id_col: str = "doc_id",
+    tokens_expr: str = "n_tokens",
+) -> str:
+    """DuckDB twin: the ONE-WINDOW formulation the distributed version
+    must reproduce bit-for-bit (same hash order, same integer math)."""
+    h = md5_long_sql(f"CAST({id_col} AS VARCHAR)")
+    return f"""
+WITH t AS (SELECT {id_col} AS doc_id, CAST({tokens_expr} AS BIGINT) AS n_tokens,
+                  {h} AS h FROM {table}),
+c AS (SELECT doc_id, n_tokens, h,
+             sum(n_tokens) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+SELECT doc_id,
+       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / {ctx_len}) AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % {ctx_len} AS BIGINT) AS "offset",
+       n_tokens,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN floor(CAST(cum - 1 AS DOUBLE) / {ctx_len})
+                      - floor(CAST(cum - n_tokens AS DOUBLE) / {ctx_len}) + 1
+                 ELSE 1 END AS BIGINT) AS n_seqs_spanned
+FROM c
+"""
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    group_rates: dict | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff
+    md5(seed || id) / 2^60 < rate — reproducible at any parallelism,
+    no RNG state, and a resumable pipeline re-selects the identical
+    rows.  ``group_rates`` overrides the rate per group (stratum
+    re-weighting); unlisted groups fall back to ``rate``."""
+    u = md5_long(F.col(id_col).cast("string"), seed=seed) / F.lit(float(_HASH_SPAN))
+    if group_col is not None and group_rates:
+        r = F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in group_rates.items() for x in kv]
+                ),
+                F.col(group_col),
+            ),
+            F.lit(float(rate)),
+        )
+    else:
+        r = F.lit(float(rate))
+    return docs.filter(u < r)
+
+
+def stratified_sample_sql(
+    table: str,
+    rate: float,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    group_rates: dict | None = None,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of stratified_sample's keep-predicate."""
+    h = md5_long_sql(f"CAST({id_col} AS VARCHAR)", seed=seed)
+    if group_col is not None and group_rates:
+        whens = " ".join(
+            f"WHEN {group_col} = '{g}' THEN {float(v)!r}" for g, v in group_rates.items()
+        )
+        r = f"(CASE {whens} ELSE {float(rate)!r} END)"
+    else:
+        r = repr(float(rate))
+    return f"SELECT * FROM {table} WHERE CAST({h} AS DOUBLE) / {float(_HASH_SPAN)!r} < {r}"

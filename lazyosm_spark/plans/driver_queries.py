@@ -1219,6 +1219,8 @@ _REDUNDANT_TWINS = [
     "anti_join_missing",      # semi_join_members keeps the id-join row
     "doc_fingerprint",        # winnow_fingerprints is the scale shape
     "token_stats",            # corpus_filter composes the text metrics
+    "langid",                 # corpus_filter composes it (round-3 slots
+    "quality_score",          # freed for pack_sequences + sampling)
 ]
 
 
@@ -1905,6 +1907,59 @@ def q_fx_stateful(spark, sf_dir):
         F.count("*").alias("n_unique"),
         F.countDistinct("text_hash").alias("n_hashes"),
     )
+
+
+# ======================================================================
+# Training-sequence packing + deterministic sampling (round 3)
+# ======================================================================
+
+
+def _pack_sql() -> str:
+    from lazyosm_spark.operators.packing import pack_sequences_sql
+
+    toks = (
+        r"len(regexp_split_to_array("
+        r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))"
+    )
+    return pack_sequences_sql("documents", 512, tokens_expr=toks)
+
+
+@_register("pack_sequences", _pack_sql())
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-then-chunk packing via the DISTRIBUTED prefix
+    sum (range-bucketed hash -> partial sums -> broadcast offsets ->
+    per-bucket window; no Exchange SinglePartition, plan-audited) —
+    hash-equal to the oracle's one-window formulation."""
+    from lazyosm_spark.operators.dedup import normalize_text
+    from lazyosm_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(normalize_text("text"), " ")).alias("n_tokens")
+    )
+    return pack_sequences(d, ctx_len=512)
+
+
+def _sample_sql() -> str:
+    from lazyosm_spark.operators.packing import stratified_sample_sql
+
+    inner = stratified_sample_sql(
+        "documents", 0.25, group_col="lang",
+        group_rates={"en": 0.1, "de": 0.5}, seed=7,
+    )
+    return f"SELECT doc_id, lang FROM ({inner}) s"
+
+
+@_register("stratified_sample", _sample_sql())
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-threshold Bernoulli sample with per-stratum
+    rates — identical keep-set at any parallelism (the reproducible /
+    resumable corpus sampler)."""
+    from lazyosm_spark.operators.packing import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, 0.25, group_col="lang", group_rates={"en": 0.1, "de": 0.5}, seed=7
+    ).select("doc_id", "lang")
 
 
 @_register(

@@ -1,0 +1,113 @@
+"""Sequence packing + stratified sampling: the distributed prefix sum
+must equal the one-window formulation bit-for-bit, packing invariants
+must hold, and the sampler must be parallelism-invariant."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _docs(spark, n=3000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37 + 11, 190) + 1).alias("n_tokens"),
+    )
+
+
+def test_global_cumsum_equals_single_window(spark):
+    from lazyosm_spark.functions.hashing import md5_long
+    from lazyosm_spark.operators.packing import global_cumsum
+
+    d = _docs(spark).withColumn("h", md5_long(F.col("doc_id").cast("string")))
+    got = {
+        r["doc_id"]: r["cum"]
+        for r in global_cumsum(d, "h", "n_tokens", n_buckets=64).collect()
+    }
+    w = Window.orderBy(F.col("h").asc())
+    want = {
+        r["doc_id"]: r["cum"]
+        for r in d.withColumn("cum", F.sum("n_tokens").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_cumsum_no_single_partition_exchange(spark):
+    """The whole point: the distributed scan must not contain the
+    Exchange SinglePartition a global ORDER BY window needs."""
+    from lazyosm_spark.functions.hashing import md5_long
+    from lazyosm_spark.operators.packing import global_cumsum
+
+    d = _docs(spark).withColumn("h", md5_long(F.col("doc_id").cast("string")))
+    out = global_cumsum(d, "h", "n_tokens", n_buckets=64)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert "Exchange SinglePartition" not in buf.getvalue()
+
+
+def test_pack_sequences_invariants(spark):
+    """Concat-then-chunk: offsets in [0, ctx); token positions tile the
+    stream exactly (sum of tokens == max cum); spans consistent with
+    offset + n_tokens; total spanned chunks match the stream length."""
+    from lazyosm_spark.operators.packing import pack_sequences
+
+    ctx = 256
+    d = _docs(spark, 2000)
+    out = pack_sequences(d, ctx_len=ctx, n_buckets=32).collect()
+    assert len(out) == 2000
+    total = sum(r["n_tokens"] for r in out)
+    n_seqs = (total + ctx - 1) // ctx
+    assert max(r["seq_id"] for r in out) == (total - 1) // ctx
+    for r in out:
+        assert 0 <= r["offset"] < ctx
+        span = (r["offset"] + r["n_tokens"] - 1) // ctx + 1 if r["n_tokens"] else 1
+        assert r["n_seqs_spanned"] == span, r
+    # every sequence id in [0, n_seqs) hosts at least one doc start or
+    # is covered by a straddling doc — check coverage via token math
+    assert sum(r["n_tokens"] for r in out) == total and n_seqs >= 1
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    from lazyosm_spark.operators.packing import stratified_sample
+
+    d = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    kept = stratified_sample(
+        d, 0.3, group_col="lang", group_rates={"en": 0.05, "de": 0.6}, seed=3
+    )
+    ids1 = {r["doc_id"] for r in kept.collect()}
+    # same rows again after a repartition (parallelism-invariant)
+    ids2 = {
+        r["doc_id"]
+        for r in stratified_sample(
+            d.repartition(17),
+            0.3,
+            group_col="lang",
+            group_rates={"en": 0.05, "de": 0.6},
+            seed=3,
+        ).collect()
+    }
+    assert ids1 == ids2
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    n_per = 20_000 / 3
+    assert abs(by_lang.get("en", 0) / n_per - 0.05) < 0.02
+    assert abs(by_lang["de"] / n_per - 0.6) < 0.05
+    assert abs(by_lang["fr"] / n_per - 0.3) < 0.05
+    # different seed -> different keep-set
+    ids3 = {
+        r["doc_id"]
+        for r in stratified_sample(d, 0.3, seed=4).collect()
+    }
+    assert ids3 != ids1

@@ -152,6 +152,17 @@ def main() -> None:
     ]
     sections.append(("tile_points_shuffle salt=8 (hot-tile skew split)", p, checks))
 
+    # 9. sequence packing: the distributed prefix sum must never plan
+    # an Exchange SinglePartition (the global-ORDER-BY-window trap that
+    # puts 100 TB through one task)
+    q9 = dq.QUERIES["pack_sequences"](spark, SF_DIR)
+    p = plan_of(q9)
+    checks = [
+        ("no Exchange SinglePartition anywhere", "Exchange SinglePartition" not in p),
+        ("per-bucket window cumsum present", "Window" in p),
+    ]
+    sections.append(("pack_sequences (distributed prefix sum)", p, checks))
+
     ok = True
     lines = ["# Physical-plan audit (generated by tools/explain_plans.py)\n"]
     for name, plan, checks in sections:
