@@ -71,6 +71,45 @@ def test_pack_sequences_invariants(spark):
     assert sum(r["n_tokens"] for r in out) == total and n_seqs >= 1
 
 
+def test_pack_sequences_matches_scalar_oracle(spark):
+    """Property test: engine packing == a pure-python scalar oracle
+    (same md5 order, same integer chunk math) across random token-count
+    worlds and ctx sizes, including ctx smaller than max doc."""
+    import hashlib
+
+    import numpy as np
+
+    from lazyosm_spark.operators.packing import pack_sequences
+
+    rng = np.random.default_rng(5)
+    for trial in range(6):
+        n = int(rng.integers(1, 150))
+        ctx = int(rng.choice([16, 64, 257, 512]))
+        tokens = rng.integers(1, 400, size=n).tolist()
+
+        rows = [
+            (i, t, int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16))
+            for i, t in enumerate(tokens)
+        ]
+        rows.sort(key=lambda r: r[2])
+        want, cum = {}, 0
+        for i, t, _h in rows:
+            start = cum
+            cum += t
+            seq, off = start // ctx, start % ctx
+            span = (start + t - 1) // ctx - seq + 1
+            want[i] = (seq, off, t, span)
+
+        d = spark.createDataFrame(
+            list(enumerate(tokens)), "doc_id long, n_tokens long"
+        )
+        got = {
+            r["doc_id"]: (r["seq_id"], r["offset"], r["n_tokens"], r["n_seqs_spanned"])
+            for r in pack_sequences(d, ctx_len=ctx, n_buckets=8).collect()
+        }
+        assert got == want, (trial, n, ctx)
+
+
 def test_stratified_sample_deterministic_and_stratified(spark):
     from lazyosm_spark.operators.packing import stratified_sample
 
