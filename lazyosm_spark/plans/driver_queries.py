@@ -1221,6 +1221,7 @@ _REDUNDANT_TWINS = [
     "token_stats",            # corpus_filter composes the text metrics
     "langid",                 # corpus_filter composes it (round-3 slots
     "quality_score",          # freed for pack_sequences + sampling)
+    "cosine_near_dup",        # fx_embedding_near_dup_lsh is the scale shape
 ]
 
 
@@ -1906,6 +1907,53 @@ def q_fx_stateful(spark, sf_dir):
     return out.agg(
         F.count("*").alias("n_unique"),
         F.countDistinct("text_hash").alias("n_hashes"),
+    )
+
+
+def _stream_pack_sql(ctx: int = 512) -> str:
+    """Batch twin of the streaming packer: per-lang running token sum
+    in doc_id (arrival) order, same floor/modulo chunk math."""
+    toks = (
+        r"len(regexp_split_to_array("
+        r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, lang, CAST({toks} AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+SELECT doc_id, lang,
+       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / {ctx}) AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % {ctx} AS BIGINT) AS "offset",
+       n_tokens
+FROM c
+"""
+
+
+@_register_fixture("fx_streaming_pack", _stream_pack_sql())
+def q_fx_stream_pack(spark, sf_dir):
+    """Streaming per-stratum sequence packing over two doc_id-ordered
+    arrival waves: the keyed token cursor spans micro-batches, so the
+    result equals the batch per-lang cumsum SQL."""
+    import os as _os
+    import tempfile
+
+    from lazyosm_spark.streaming.pipeline import stream_pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    split = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    d = tempfile.mkdtemp(prefix="spack_q_")
+    docs.filter(F.col("doc_id") <= split).write.parquet(_os.path.join(d, "in", "w1"))
+    docs.filter(F.col("doc_id") > split).write.parquet(_os.path.join(d, "in", "w2"))
+    q = stream_pack_sequences(
+        spark, _os.path.join(d, "in") + "/*",
+        "doc_id long, lang string, text string",
+        _os.path.join(d, "out"), _os.path.join(d, "ck"),
+    )
+    q.awaitTermination(240)
+    return spark.read.parquet(_os.path.join(d, "out")).select(
+        "doc_id", "lang", "seq_id", "offset", "n_tokens"
     )
 
 

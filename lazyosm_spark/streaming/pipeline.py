@@ -335,3 +335,82 @@ def stream_exact_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sequence packing: per-stratum token cursor across micro-batches
+# ---------------------------------------------------------------------------
+
+PACK_OUT_SCHEMA = "doc_id long, lang string, seq_id long, offset long, n_tokens long"
+PACK_STATE_SCHEMA = "cursor long"
+
+
+def _pack_state_fn_factory(ctx_len: int):
+    def fn(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+        (cursor,) = state.get if state.exists else (0,)
+        toks = rows["n_tokens"].to_numpy(np.int64)
+        ends = cursor + np.cumsum(toks)
+        starts = ends - toks
+        state.update((int(ends[-1]) if len(ends) else int(cursor),))
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "doc_id": rows["doc_id"].to_numpy(),
+                        "lang": key[0],
+                        "seq_id": starts // ctx_len,
+                        "offset": starts % ctx_len,
+                        "n_tokens": toks,
+                    }
+                )
+            ]
+        )
+
+    return fn
+
+
+def stream_pack_sequences(
+    spark: SparkSession,
+    input_dir: str,
+    input_schema: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    ctx_len: int = 512,
+) -> StreamingQuery:
+    """Streaming concat-then-chunk packing: per STRATUM (lang), a token
+    cursor carried in keyed state lays arriving documents end-to-end
+    and assigns (seq_id, offset) against fixed ctx_len chunks — the
+    arrival-order streaming twin of operators/packing.pack_sequences
+    (which shuffles by hash; a stream packs in arrival order instead).
+    Within a micro-batch docs sort by doc_id, so whenever arrival
+    waves partition each stratum's doc_id order (time-ordered file
+    arrival), the result equals the batch per-lang cumsum SQL — the
+    driver query checks exactly that equality against DuckDB.  State
+    is one int per stratum; restarts resume from the checkpointed
+    cursor."""
+    from lazyosm_spark.operators.dedup import normalize_text
+
+    stream = spark.readStream.schema(input_schema).parquet(input_dir)
+    toks = stream.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(normalize_text("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    packed = toks.groupBy("lang").applyInPandasWithState(
+        _pack_state_fn_factory(ctx_len),
+        outputStructType=PACK_OUT_SCHEMA,
+        stateStructType=PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    return (
+        packed.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

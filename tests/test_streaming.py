@@ -283,3 +283,61 @@ def test_stream_exact_dedup_stateful(spark):
         # each survivor is the minimum doc_id of its group in arrival order
         for r in rows:
             assert r["doc_id"] == r["doc_id"] % 7  # ids 0..6 arrived first
+
+
+def test_stream_pack_sequences_cursor_spans_restarts(spark):
+    """Two availableNow RUNS over one checkpoint: wave-2 docs must
+    continue each stratum's token cursor from the checkpointed state
+    (a doc starting mid-chunk across the restart keeps the global
+    offset), equal to a batch per-lang cumsum in doc_id order."""
+    from pyspark.sql import Window
+
+    from lazyosm_spark.streaming.pipeline import stream_pack_sequences
+
+    ctx = 64
+    rows = [
+        (i, ["en", "de"][i % 2], "tok " * ((i * 7) % 40 + 1))
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    with tempfile.TemporaryDirectory() as d:
+        in_dir, out_dir, ck = (
+            os.path.join(d, "in"),
+            os.path.join(d, "out"),
+            os.path.join(d, "ck"),
+        )
+        schema = "doc_id long, lang string, text string"
+        docs.filter(F.col("doc_id") < 60).coalesce(1).write.parquet(
+            os.path.join(in_dir, "w1")
+        )
+        q1 = stream_pack_sequences(spark, in_dir + "/*", schema, out_dir, ck, ctx_len=ctx)
+        q1.awaitTermination(120)
+        docs.filter(F.col("doc_id") >= 60).coalesce(1).write.parquet(
+            os.path.join(in_dir, "w2")
+        )
+        q2 = stream_pack_sequences(spark, in_dir + "/*", schema, out_dir, ck, ctx_len=ctx)
+        q2.awaitTermination(120)
+
+        got = {
+            r["doc_id"]: (r["lang"], r["seq_id"], r["offset"], r["n_tokens"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        from lazyosm_spark.operators.dedup import normalize_text
+
+        w = Window.partitionBy("lang").orderBy("doc_id")
+        batch = docs.select(
+            "doc_id",
+            "lang",
+            F.size(F.split(normalize_text("text"), " ")).cast("long").alias("n_tokens"),
+        ).withColumn("cum", F.sum("n_tokens").over(w))
+        want = {
+            r["doc_id"]: (
+                r["lang"],
+                (r["cum"] - r["n_tokens"]) // ctx,
+                (r["cum"] - r["n_tokens"]) % ctx,
+                r["n_tokens"],
+            )
+            for r in batch.collect()
+        }
+        assert got == want and len(got) == 120
