@@ -325,56 +325,194 @@ def resize_images_batches_fn(target_w: int, target_h: int):
     return fn
 
 
-AUDIO_FEATURES_SCHEMA = "clip_id string, n_samples long, rms double, zero_crossings long"
+# ---------------------------------------------------------------------------
+# Audio: REAL codecs (public formats, pure numpy/stdlib-bytes) — WAV
+# (RIFF PCM16 container) and G.711 mu-law (companding compression).
+# Tests oracle them against the INDEPENDENT stdlib wave/audioop
+# implementations.  Genuinely out-of-sandbox codecs (mp3/opus/aac)
+# remain marked swap-ins.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples -> a standard RIFF/WAVE file (PCM fmt 1)."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm16(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE chunk walk -> (int16 samples, sample_rate).  Accepts
+    mono PCM16; rejects other encodings explicitly."""
+    import struct
+
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE", "not a WAV file"
+    pos, sr, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, ln = buf[pos : pos + 4], struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+        body = buf[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or n_ch != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"WAV fmt={audio_fmt} ch={n_ch} bits={bits}: only mono PCM16"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    assert sr is not None and data is not None, "missing fmt/data chunk"
+    return np.frombuffer(data, dtype="<i2"), sr
+
+
+def mulaw_decode(u8: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 mu-law expansion, vectorized -> int16 (matches the
+    stdlib audioop.ulaw2lin(buf, 2) table bit-for-bit; pytest pins it)."""
+    u = (~u8.astype(np.uint8)) & np.uint8(0xFF)
+    sign = (u & 0x80) != 0
+    exp = ((u >> 4) & 0x07).astype(np.int32)
+    mant = (u & 0x0F).astype(np.int32)
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    out = np.where(sign, -mag, mag)
+    return out.astype(np.int16)
+
+
+def mulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """G.711 mu-law compression of int16 -> uint8 (test generator; the
+    pipeline decodes)."""
+    x = samples.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0).astype(np.int32)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int32)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def decode_audio(buf: bytes, codec: str, sample_rate: int) -> tuple[np.ndarray, int]:
+    """bytes -> (float64 samples in [-1, 1), sample_rate).  'pcm16' and
+    'mulaw' use the row's sample_rate; 'wav' reads its own header."""
+    if codec == "pcm16":
+        x = np.frombuffer(buf, dtype="<i2")
+    elif codec == "wav":
+        x, sample_rate = decode_wav_pcm16(buf)
+    elif codec == "mulaw":
+        x = mulaw_decode(np.frombuffer(buf, dtype=np.uint8))
+    else:
+        # >>> codec swap-in point (mp3/opus need out-of-sandbox libs) <<<
+        raise NotImplementedError(f"audio codec {codec!r}: stubbed")
+    return x.astype(np.float64) / 32768.0, int(sample_rate)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "clip_id string, n_samples long, rms double, zero_crossings long, "
+    "duration_s double, dominant_freq_hz double"
+)
 
 
 def audio_features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB codec, real plumbing.  Input: (clip_id string, bytes binary,
-    codec string, sample_rate int).  'pcm16' decodes for real (int16
-    little-endian); any compressed codec raises NotImplementedError at
-    the clearly-marked swap-in point (production: soundfile/ffmpeg)."""
+    """Audio decode + feature extraction.  Input: (clip_id string,
+    bytes binary, codec string, sample_rate int).  REAL codecs: pcm16,
+    wav (RIFF PCM16), mulaw (G.711); mp3/opus raise at the marked
+    swap-in.  Features: RMS, zero crossings, duration, dominant
+    frequency (peak of the rFFT magnitude above DC)."""
     for pdf in batches:
         rows = []
         for r in pdf.itertuples(index=False):
-            if r.codec == "pcm16":
-                x = np.frombuffer(r.bytes, dtype="<i2").astype(np.float64) / 32768.0
+            x, sr = decode_audio(r.bytes, r.codec, r.sample_rate)
+            if len(x):
+                spec = np.abs(np.fft.rfft(x))
+                dom = (
+                    float((np.argmax(spec[1:]) + 1) * sr / len(x))
+                    if len(spec) > 1
+                    else 0.0
+                )
             else:
-                # >>> codec swap-in point (sandbox has no audio libs) <<<
-                raise NotImplementedError(f"audio codec {r.codec!r}: stubbed")
+                dom = 0.0
             rows.append(
                 (
                     r.clip_id,
                     len(x),
                     float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,
                     int(np.count_nonzero(np.diff(np.signbit(x)))),
+                    len(x) / sr if sr else 0.0,
+                    dom,
                 )
             )
         yield pd.DataFrame(
-            rows, columns=["clip_id", "n_samples", "rms", "zero_crossings"]
+            rows,
+            columns=[
+                "clip_id",
+                "n_samples",
+                "rms",
+                "zero_crossings",
+                "duration_s",
+                "dominant_freq_hz",
+            ],
         )
 
 
 FRAME_SAMPLE_SCHEMA = "video_id string, frame_idx int, frame binary, w int, h int"
 
+LVID_MAGIC = b"LVID"
+
+
+def encode_video_lvid(frames: list[np.ndarray]) -> bytes:
+    """REAL compressed video container: magic + (w, h, n_frames) +
+    length-prefixed lossy-DCT frames (the image codec, per frame).  A
+    deliberately simple intra-only format — every frame independently
+    decodable, so frame sampling can SKIP undecoded frames by walking
+    the length prefixes (the property real samplers rely on keyframes
+    for)."""
+    import struct
+
+    h, w = frames[0].shape[:2]
+    out = [LVID_MAGIC, struct.pack("<III", w, h, len(frames))]
+    for f in frames:
+        payload = encode_image(f, "lossy")
+        out.append(struct.pack("<I", len(payload)))
+        out.append(payload)
+    return b"".join(out)
+
 
 def sample_video_frames_batches_fn(every_n: int = 10):
-    """STUB codec, real plumbing.  Input: (video_id string, bytes
-    binary, codec string, n_frames int, w int, h int).  'rawv' treats
-    bytes as concatenated raw RGB frames and slices every_n-th frame
-    for real; compressed codecs raise at the swap-in point
-    (production: pyav/ffmpeg)."""
+    """Video frame sampling.  Input: (video_id string, bytes binary,
+    codec string, n_frames int, w int, h int).  REAL codecs: 'rawv'
+    (concatenated raw RGB planes, sliced) and 'lvid' (length-prefixed
+    lossy-DCT frames — sampled frames are DECODED, skipped frames are
+    never touched: the walk reads only the 4-byte prefixes).
+    Out-of-sandbox codecs (h264 etc.) raise at the marked swap-in
+    (production: pyav/ffmpeg, same UDF signature)."""
+    import struct
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                if r.codec != "rawv":
-                    # >>> codec swap-in point (sandbox has no video libs) <<<
-                    raise NotImplementedError(f"video codec {r.codec!r}: stubbed")
-                fsize = r.w * r.h * 3
-                for idx in range(0, r.n_frames, every_n):
-                    frame = r.bytes[idx * fsize : (idx + 1) * fsize]
-                    rows.append((r.video_id, idx, frame, r.w, r.h))
+                if r.codec == "rawv":
+                    fsize = r.w * r.h * 3
+                    for idx in range(0, r.n_frames, every_n):
+                        frame = r.bytes[idx * fsize : (idx + 1) * fsize]
+                        rows.append((r.video_id, idx, frame, r.w, r.h))
+                    continue
+                if r.codec == "lvid":
+                    buf = r.bytes
+                    assert buf[:4] == LVID_MAGIC, "bad lvid magic"
+                    w, h, n_frames = struct.unpack("<III", buf[4:16])
+                    pos = 16
+                    for idx in range(n_frames):
+                        (ln,) = struct.unpack("<I", buf[pos : pos + 4])
+                        if idx % every_n == 0:
+                            px = decode_image(buf[pos + 4 : pos + 4 + ln], "lossy", w, h)
+                            rows.append((r.video_id, idx, px.tobytes(), w, h))
+                        pos += 4 + ln
+                    continue
+                # >>> codec swap-in point (h264 etc. need out-of-sandbox libs) <<<
+                raise NotImplementedError(f"video codec {r.codec!r}: stubbed")
             yield pd.DataFrame(
                 rows, columns=["video_id", "frame_idx", "frame", "w", "h"]
             )
