@@ -94,14 +94,25 @@ def pack_sequences(
         h.alias("_h"),
     )
     cum = global_cumsum(base, "_h", "n_tokens", out_col="_cum", n_buckets=n_buckets)
-    start = F.col("_cum") - F.col("n_tokens")  # first-token position
-    last = F.col("_cum") - 1
-    return cum.select(
+    # integer division (SQL `div`, nonneg operands): exact at ANY
+    # token-stream length — a double floor(x/ctx) loses exactness past
+    # 2^53 total tokens, within reach of a 100 TB corpus
+    c = int(ctx_len)
+    tmp = cum.select(
         "doc_id",
-        F.floor(start / ctx_len).cast("long").alias("seq_id"),
-        (start % ctx_len).cast("long").alias("offset"),
         "n_tokens",
-        F.when(F.col("n_tokens") > 0, (F.floor(last / ctx_len) - F.floor(start / ctx_len) + 1))
+        (F.col("_cum") - F.col("n_tokens")).alias("_start"),
+        (F.col("_cum") - 1).alias("_last"),
+    )
+    return tmp.select(
+        "doc_id",
+        F.expr(f"_start div {c}").cast("long").alias("seq_id"),
+        (F.col("_start") % c).cast("long").alias("offset"),
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(f"(_last div {c}) - (_start div {c}) + 1"),
+        )
         .otherwise(F.lit(1))
         .cast("long")
         .alias("n_seqs_spanned"),
@@ -124,12 +135,11 @@ c AS (SELECT doc_id, n_tokens, h,
              sum(n_tokens) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cum
       FROM t)
 SELECT doc_id,
-       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / {ctx_len}) AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) // {ctx_len} AS BIGINT) AS seq_id,
        CAST((cum - n_tokens) % {ctx_len} AS BIGINT) AS "offset",
        n_tokens,
        CAST(CASE WHEN n_tokens > 0
-                 THEN floor(CAST(cum - 1 AS DOUBLE) / {ctx_len})
-                      - floor(CAST(cum - n_tokens AS DOUBLE) / {ctx_len}) + 1
+                 THEN (cum - 1) // {ctx_len} - (cum - n_tokens) // {ctx_len} + 1
                  ELSE 1 END AS BIGINT) AS n_seqs_spanned
 FROM c
 """

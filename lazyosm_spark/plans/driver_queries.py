@@ -1924,7 +1924,7 @@ c AS (SELECT doc_id, lang, n_tokens,
                                  ROWS UNBOUNDED PRECEDING) AS cum
       FROM t)
 SELECT doc_id, lang,
-       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / {ctx}) AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) // {ctx} AS BIGINT) AS seq_id,
        CAST((cum - n_tokens) % {ctx} AS BIGINT) AS "offset",
        n_tokens
 FROM c
