@@ -106,15 +106,23 @@ shards ({n_shards + 2} files, {size_mb:.1f} MB, {n_entities:,} entities:
 (The reference publishes no throughput numbers — README.md:4 is
 qualitative — so this is the engine's anchor, not a comparison.)
 """
-    # replace any existing PBF appendix instead of appending a duplicate
+    # replace ONLY the existing PBF appendix (marker to the next '## '
+    # heading or EOF) — truncating at the marker would silently delete
+    # any section added after it
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     marker = "## Appendix: PBF"
     old = open(path).read() if os.path.exists(path) else ""
     idx = old.find(marker)
     if idx >= 0:
-        old = old[:idx].rstrip() + "\n\n"
+        nxt = old.find("\n## ", idx + len(marker))
+        rest = old[nxt + 1 :] if nxt >= 0 else ""
+        new = old[:idx].rstrip() + "\n\n" + section.lstrip("\n").rstrip() + "\n"
+        if rest:
+            new += "\n" + rest
+    else:
+        new = old + section
     with open(path, "w") as f:
-        f.write(old + section.lstrip("\n"))
+        f.write(new)
     print(section)
 
 

@@ -581,6 +581,10 @@ def simhash_near_pairs(
     if bucket_threshold is not None:
         sims = sims.persist()
     bands = _split_bands(sims, max_hamming, n_blocks, bucket_threshold, max_split_depth)
+    if bucket_threshold is not None:
+        # every returned part derives from a localCheckpoint inside
+        # _split_bands, so the simhash cache is no longer referenced
+        sims.unpersist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (

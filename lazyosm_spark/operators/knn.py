@@ -261,6 +261,7 @@ def phash_hamming_knn(
     )
     parts: list[DataFrame] = []
     exhausted = True
+    prev_pending: DataFrame | None = None  # persisted nxt superseded per level
     for r in radii:
         blocks = _simhash_blocks(64, r + 1)
         cand = (
@@ -292,8 +293,15 @@ def phash_hamming_knn(
         ).persist()
         # the one driver action per level (materializes ok's cache too)
         if nxt.count() == 0:
+            nxt.unpersist()
             exhausted = False
             break
+        # the superseded pending's cache is no longer referenced (ok and
+        # nxt are both materialized) — release it instead of leaking one
+        # cached frame per level for the session lifetime
+        if prev_pending is not None:
+            prev_pending.unpersist()
+        prev_pending = nxt
         pending = nxt
     if exhausted:
         # salted exact fallback for the (normally empty) residue

@@ -43,14 +43,32 @@ def global_cumsum(
     value_col: str,
     out_col: str = "cum",
     n_buckets: int = 256,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Running sum of ``value_col`` over the total order of
-    ``order_col`` (a UNIQUE uniform hash in [0, 2^60)), without a
-    single-partition window: range-bucket the hash, per-bucket partial
-    sums -> driver prefix -> broadcast offsets -> per-bucket window.
-    Appends ``out_col`` (inclusive running sum)."""
+    (``order_col``[, ``tiebreak_col``]) — order_col a uniform hash in
+    [0, 2^60) — without a single-partition window: range-bucket the
+    hash, per-bucket partial sums -> driver prefix -> broadcast
+    offsets -> per-bucket window.  Appends ``out_col`` (inclusive
+    running sum, ROWS frame).
+
+    Pass ``tiebreak_col`` (unique) whenever order_col can collide:
+    hash ties are window PEERS under the default RANGE frame and would
+    receive one shared cum (overlapping positions); the explicit ROWS
+    frame + tiebreak gives colliding rows distinct, deterministic cums
+    — matching an ORDER BY h, tiebreak ROWS oracle.
+
+    Bucketing is INTEGER division (h div step, clamped): the double
+    division `h/step` rounds hashes in the top ~64 values of the range
+    up to bucket n_buckets, which has no offsets-map entry -> NULL
+    cum — a silent-corruption bug at trillion-row scale."""
     step = _HASH_SPAN // n_buckets
-    with_b = df.withColumn("_b", (F.col(order_col) / F.lit(step)).cast("int"))
+    with_b = df.withColumn(
+        "_b",
+        F.least(
+            F.lit(n_buckets - 1), F.expr(f"{order_col} div {step}")
+        ).cast("int"),
+    )
     # n_buckets partial sums: the only aggregate; rows never leave
     # their bucket partition for the scan below
     parts = {
@@ -67,7 +85,14 @@ def global_cumsum(
         ),
         F.col("_b"),
     )
-    w = Window.partitionBy("_b").orderBy(F.col(order_col).asc())
+    order = [F.col(order_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return with_b.withColumn(
         out_col, (F.sum(value_col).over(w) + off).cast("long")
     ).drop("_b")
@@ -93,7 +118,10 @@ def pack_sequences(
         F.col(tokens_col).cast("long").alias("n_tokens"),
         h.alias("_h"),
     )
-    cum = global_cumsum(base, "_h", "n_tokens", out_col="_cum", n_buckets=n_buckets)
+    cum = global_cumsum(
+        base, "_h", "n_tokens", out_col="_cum", n_buckets=n_buckets,
+        tiebreak_col="doc_id",
+    )
     # integer division (SQL `div`, nonneg operands): exact at ANY
     # token-stream length — a double floor(x/ctx) loses exactness past
     # 2^53 total tokens, within reach of a 100 TB corpus
@@ -132,7 +160,8 @@ def pack_sequences_sql(
 WITH t AS (SELECT {id_col} AS doc_id, CAST({tokens_expr} AS BIGINT) AS n_tokens,
                   {h} AS h FROM {table}),
 c AS (SELECT doc_id, n_tokens, h,
-             sum(n_tokens) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cum
+             sum(n_tokens) OVER (ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
       FROM t)
 SELECT doc_id,
        CAST((cum - n_tokens) // {ctx_len} AS BIGINT) AS seq_id,

@@ -71,6 +71,37 @@ def test_pack_sequences_invariants(spark):
     assert sum(r["n_tokens"] for r in out) == total and n_seqs >= 1
 
 
+def test_global_cumsum_bucket_edge_and_collisions(spark):
+    """Two at-scale corruption regressions: (a) hashes in the top ~64
+    values of [0, 2^60) must land in the LAST bucket, not a phantom
+    bucket with no offset (double division rounds them up -> NULL cum);
+    (b) colliding order keys must get distinct, tiebreak-ordered cums
+    (the default RANGE frame makes peers share one cum)."""
+    from lazyosm_spark.operators.packing import global_cumsum
+
+    top = (1 << 60) - 1
+    rows = [
+        (0, 5, top),          # extreme edge of the hash range
+        (1, 7, top - 1),
+        (2, 11, 12345),
+        (3, 13, 12345),       # collision with doc 2
+        (4, 17, 12345),       # and doc 4 — three-way tie
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, n_tokens long, h long")
+    out = {
+        r["doc_id"]: r["cum"]
+        for r in global_cumsum(
+            d, "h", "n_tokens", n_buckets=256, tiebreak_col="doc_id"
+        ).collect()
+    }
+    # scalar: order by (h, doc_id), running sum
+    want, acc = {}, 0
+    for doc, t, _h in sorted(rows, key=lambda r: (r[2], r[0])):
+        acc += t
+        want[doc] = acc
+    assert out == want  # no NULLs, no shared peer cums
+
+
 def test_pack_sequences_matches_scalar_oracle(spark):
     """Property test: engine packing == a pure-python scalar oracle
     (same md5 order, same integer chunk math) across random token-count

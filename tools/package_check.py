@@ -69,10 +69,16 @@ def main() -> None:
         job_path = os.path.join(d, "job.py")
         with open(job_path, "w") as f:
             f.write(JOB)
+        import shutil
+
+        spark_submit = (
+            shutil.which("spark-submit")
+            or os.path.join(os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit")
+        )
         env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
         proc = subprocess.run(
             [
-                "/opt/spark/bin/spark-submit",
+                spark_submit,
                 "--master", "local[4]",
                 "--py-files", zip_path,
                 job_path,
