@@ -103,6 +103,26 @@ def test_mulaw_matches_audioop_oracle():
     assert snr > 30  # companding noise floor, way above it for a sine
 
 
+def test_mulaw_decodes_stdlib_encoded_streams():
+    """Random int16 streams compressed by the INDEPENDENT stdlib
+    encoder (audioop.lin2ulaw) must decode identically through our
+    expansion to the stdlib's own decoder — cross-implementation
+    round-trip, not just the 256-value table."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    rng = np.random.default_rng(17)
+    for trial in range(5):
+        x = rng.integers(-32768, 32768, size=5000).astype("<i2")
+        comp = audioop.lin2ulaw(x.tobytes(), 2)
+        want = np.frombuffer(audioop.ulaw2lin(comp, 2), dtype="<i2")
+        got = im.mulaw_decode(np.frombuffer(comp, dtype=np.uint8))
+        assert np.array_equal(got, want), trial
+
+
 def test_audio_wav_mulaw_spark_features(spark):
     """The Spark mapInPandas path decodes wav + mulaw for real and the
     dominant-frequency feature lands on the generated tone."""
