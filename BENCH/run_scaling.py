@@ -117,16 +117,26 @@ def main() -> None:
             for n in levels
         }
 
-        pairs = [(1, 4), (2, 8), (8, 32)]
+        # The gate is pinned to the CLEAN-REGIME pairs (neither level
+        # saturates the box's memory controller or local[32] dispatch
+        # penalty) and requires ALL of them to pass — no best-pair
+        # cherry-picking.  (8, 32) is reported as context only.
+        clean_pairs = [(1, 4), (2, 8)]
+        context_pairs = [(8, 32)]
         pair_rows = "\n".join(
-            f"| local[{a}] -> local[{b}] | {eff(a, b):.2f} |"
-            for a, b in pairs
+            f"| local[{a}] -> local[{b}] | {eff(a, b):.2f} | gate |"
+            for a, b in clean_pairs
+        ) + "\n" + "\n".join(
+            f"| local[{a}] -> local[{b}] | {eff(a, b):.2f} | context (VM dispatch ceiling) |"
+            for a, b in context_pairs
         )
         hw_percore = " -> ".join(
             f"{hw[n] / n / 1000:.1f}k ({n})" for n in levels
         )
-        best = max(pairs, key=lambda p: eff(*p))
-        met = eff(*best) >= 0.8
+        met = all(eff(a, b) >= 0.8 for a, b in clean_pairs)
+        gate_detail = ", ".join(
+            f"local[{a}]->local[{b}]={eff(a, b):.2f}" for a, b in clean_pairs
+        )
 
         rows = "\n".join(
             f"| local[{c}] | {r[c]['seconds']} | {r[c]['images_per_sec']:,} |"
@@ -160,13 +170,13 @@ separate JVMs over the SAME pre-built input table.
 
 ## N -> 4N pairs
 
-| pair | engine efficiency |
-|---|---|
+| pair | engine efficiency | role |
+|---|---|---|
 {pair_rows}
 
-Gate (>= 0.8 N -> 4N): **{"MET" if met else "NOT MET"}** at
-local[{best[0]}] -> local[{best[1]}] = {eff(*best):.2f} (absolute
-engine efficiency, no ceiling adjustment).
+Gate (>= 0.8 N -> 4N, required on EVERY clean-regime pair — no
+best-pair selection): **{"MET" if met else "NOT MET"}** ({gate_detail};
+absolute engine efficiency, no ceiling adjustment).
 
 Hardware-ceiling context (raw multiprocessing decode, NO Spark,
 settled + max-of-2 per level): per-core throughput

@@ -24,6 +24,7 @@ import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from lazyosm_spark.cache import free_local_checkpoint
 from lazyosm_spark.functions.hashing import md5_long, shingles
 
 DEFAULT_N_HASHES = 8
@@ -393,6 +394,19 @@ def _partition_ranges(
     return out
 
 
+def _auto_bucket_threshold(n_docs: int, n_blocks: int) -> int:
+    """Derived split threshold for ``_split_bands``: 8x the uniform-hash
+    per-bucket mean of the NARROWEST level-0 band (width 60 // n_blocks
+    bits -> 2^w distinct keys).  A bucket hotter than 8x the uniform
+    mean is genuinely skewed (real text simhashes cluster), so it is
+    worth the (r+1)-way explode; the floor of 64 keeps small inputs on
+    the flat path, where the worst bucket self-join is a trivial 64^2
+    comparisons."""
+    width = 60 // n_blocks
+    mean = max(1, -(-n_docs // (1 << width)))  # ceil(n / 2^w)
+    return max(64, 8 * mean)
+
+
 def _split_bands(
     sims: DataFrame,
     max_hamming: int,
@@ -433,16 +447,18 @@ def _split_bands(
         "doc_id", "simhash", F.explode(F.array(*level0)).alias("b")
     ).select("doc_id", "simhash", F.col("b.spec").alias("spec"), F.col("b.key").alias("key"))
     if bucket_threshold is None:
-        return bands
+        return bands  # flat path: lazy plan, nothing checkpointed
 
     next_spec = n_blocks
     parts: list[DataFrame] = []
+    level_ckpts: list[DataFrame] = []
     for _depth in range(max_split_depth):
         sizes = bands.groupBy("spec", "key").agg(F.count("*").alias("_n"))
         # localCheckpoint per level: truncates the lineage (a per-level
         # when-chain/UDF plan otherwise compounds into multi-MiB task
         # binaries) and doubles as the one driver action per level
         tagged = bands.join(sizes, ["spec", "key"]).localCheckpoint()
+        level_ckpts.append(tagged)
         cold = tagged.filter(F.col("_n") <= bucket_threshold).drop("_n")
         parts.append(cold)
         hot = tagged.filter(F.col("_n") > bucket_threshold).drop("_n")
@@ -490,6 +506,13 @@ def _split_bands(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    # one checkpoint of the FINAL band table replaces every per-level
+    # checkpoint (which would otherwise stay cached for the session
+    # lifetime) — and the downstream self-join reads both its sides
+    # from this one materialization instead of re-deriving the ladder
+    out = out.localCheckpoint(eager=True)
+    for t in level_ckpts:
+        free_local_checkpoint(t)
     return out
 
 
@@ -549,7 +572,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     n_blocks: int | None = None,
-    bucket_threshold: int | None = None,
+    bucket_threshold: int | None | str = "auto",
     max_split_depth: int = 4,
 ) -> DataFrame:
     """EXACT near-dup pairs by SimHash Hamming distance via the standard
@@ -567,19 +590,34 @@ def simhash_near_pairs(
     ``bucket_threshold`` is the at-scale lever: with r+1 blocks over 60
     bits, band keys are only ~6.7 bits wide (<=128 values), so at
     corpus scale every bucket holds ~n/128 docs and the band self-join
-    goes quadratic.  Setting a threshold recursively splits any hotter
-    bucket by r+1 disjoint sub-blocks of its UNUSED bits (exact — see
+    goes quadratic.  A threshold recursively splits any hotter bucket
+    by r+1 disjoint sub-blocks of its UNUSED bits (exact — see
     _split_bands), multiplying only the hot rows by r+1 per level while
-    dividing their bucket sizes by ~2^(new key width).  Recall stays 1
-    either way; pytest pins both paths equal to brute force.
+    dividing their bucket sizes by ~2^(new key width).  The DEFAULT
+    ``"auto"`` derives the threshold from one cheap count of the
+    (already persisted) simhash table — 8x the uniform-hash per-bucket
+    mean of the narrowest band, floored at 64 (see
+    _auto_bucket_threshold) — so the default call IS the at-scale plan;
+    pass an int to pin it or ``None`` to force single-level bands.
+    Recall stays 1 on every path; pytest pins all paths equal to brute
+    force and pins the default path splitting a deliberately hot
+    bucket.
     -> (doc_id_a, doc_id_b, hamming)."""
     if n_blocks is None:
         n_blocks = max_hamming + 1
     if not 1 <= n_blocks <= 60:
         raise ValueError(f"n_blocks must be in [1, 60], got {n_blocks}")
+    if isinstance(bucket_threshold, str) and bucket_threshold != "auto":
+        raise ValueError(
+            f"bucket_threshold must be an int, None, or 'auto', got {bucket_threshold!r}"
+        )
     sims = simhash64(docs, id_col, text_col)
     if bucket_threshold is not None:
         sims = sims.persist()
+    if bucket_threshold == "auto":
+        # one count over the persisted simhash table (a pass the band
+        # build pays anyway) derives the split threshold
+        bucket_threshold = _auto_bucket_threshold(sims.count(), n_blocks)
     bands = _split_bands(sims, max_hamming, n_blocks, bucket_threshold, max_split_depth)
     if bucket_threshold is not None:
         # every returned part derives from a localCheckpoint inside

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lazyosm_spark.cache import free_local_checkpoint
+
 
 def connected_components(
     nodes: DataFrame,
@@ -61,9 +63,10 @@ def connected_components(
         edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
     ).distinct().persist()
 
-    labels = nodes.select(
+    labels_ckpt = nodes.select(
         F.col(node_col).alias("id"), F.col(node_col).alias("component")
     ).localCheckpoint()
+    labels = labels_ckpt
 
     for _ in range(max_iters):
         # neighbor-label minimum: edge (a,b) proposes b's label to a
@@ -90,6 +93,11 @@ def connected_components(
             )
         ).localCheckpoint()
         n_changed = nxt.filter("changed").count()
+        # the previous round's checkpoint is superseded the moment nxt
+        # is materialized — free it or leak one cached frame per round
+        # (the FINAL checkpoint stays: it backs the returned frame)
+        free_local_checkpoint(labels_ckpt)
+        labels_ckpt = nxt
         labels = nxt.select("id", "component")
         if n_changed == 0:
             if stats is not None:
@@ -165,6 +173,9 @@ def _cc_star(
             canon_new.exceptAll(canon_old).count()
             + canon_old.exceptAll(canon_new).count()
         )
+        # old edge checkpoint is superseded by `small` — free it (the
+        # final one stays: the returned frame reads it)
+        free_local_checkpoint(e)
         e = small
         if changed == 0:
             break

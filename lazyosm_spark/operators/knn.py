@@ -61,6 +61,7 @@ def grid_knn(
     level_step: int = 2,
     target_candidates: int | None = None,
     n_points: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """queries(query_id, lon, lat) × points(point_id, lon, lat) ->
     exact (query_id, neighbor_id, rank, dist).
@@ -79,6 +80,13 @@ def grid_knn(
     resolution whose grid the ring fully covers (the provably-exact
     terminal level).  No cross join at any level — the plan-audit
     (tools/explain_plans.py) asserts no CartesianProduct node.
+
+    ``materialize=True`` (default) eagerly localCheckpoints the final
+    union and unpersists every per-level cache, so a finished call
+    leaves NO superseded persisted frame behind (pytest inspects
+    getPersistentRDDs); pass False to get the lazy ladder plan (for
+    plan audits / further composition) — then the per-level caches stay
+    alive as long as the returned plan does.
     """
     if res is None:
         import math
@@ -115,6 +123,7 @@ def grid_knn(
 
     pending = q
     done_parts: list[DataFrame] = []
+    prev_pending: DataFrame | None = None  # persisted nxt superseded per level
     wq = Window.partitionBy("query_id")
     for i, res_l in enumerate(levels):
         is_final = i == len(levels) - 1
@@ -160,12 +169,27 @@ def grid_knn(
         # (a limit(1).count() probe would re-execute the whole upstream
         # plan under AQE)
         if nxt.count() == 0:
+            nxt.unpersist()
             break
+        # the superseded pending's cache is no longer referenced (ok and
+        # nxt are both materialized) — release it now
+        if prev_pending is not None:
+            prev_pending.unpersist()
+        prev_pending = nxt
         pending = nxt
 
     out = done_parts[0]
     for part in done_parts[1:]:
         out = out.unionByName(part)
+    if materialize:
+        # one copy of the RESULT replaces all intermediate caches:
+        # after this epilogue the operator leaves nothing persisted
+        # behind except the checkpoint blocks the returned frame reads
+        out = out.localCheckpoint(eager=True)
+        for part in done_parts:
+            part.unpersist()
+        if prev_pending is not None:
+            prev_pending.unpersist()
     return out
 
 
@@ -200,6 +224,7 @@ def phash_hamming_knn(
     hash_col: str = "phash",
     radii: tuple[int, ...] = (2, 6, 14, 30, 62),
     fallback_salt: int = 32,
+    materialize: bool = True,
 ) -> DataFrame:
     """EXACT top-k by 64-bit Hamming distance with NO cross join — the
     scale path for large query panels (phash_hamming_topk is
@@ -221,6 +246,12 @@ def phash_hamming_knn(
     Arithmetic-shift note: F.shiftright sign-extends, but masking to
     the block width keeps the true bit field, so the sign bit (bit 63)
     bands correctly.  Ties break by (dist, neighbor_id) ascending.
+
+    ``materialize=True`` (default) eagerly localCheckpoints the final
+    union and unpersists the items cache and every per-level cache —
+    a finished call leaves no superseded persisted frame behind; pass
+    False to get the lazy ladder plan (plan audits / composition), at
+    the cost of the caches living as long as the returned plan.
     -> (query_id, neighbor_id, rank, dist)."""
     from lazyosm_spark.operators.dedup import _simhash_blocks
 
@@ -327,6 +358,13 @@ def phash_hamming_knn(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        for p in parts:
+            p.unpersist()  # no-op on the never-persisted fallback part
+        it.unpersist()
+        if prev_pending is not None:
+            prev_pending.unpersist()
     return out
 
 

@@ -211,11 +211,18 @@ def stratified_sample_sql(
     group_rates: dict | None = None,
     seed: int = 0,
 ) -> str:
-    """DuckDB twin of stratified_sample's keep-predicate."""
+    """DuckDB twin of stratified_sample's keep-predicate.  Group keys
+    are single-quote-escaped and the group column is CAST to VARCHAR so
+    a quote-bearing or non-string stratum key can't break or skew the
+    oracle SQL (the Spark side's create_map lookup compares the same
+    stringified values)."""
     h = md5_long_sql(f"CAST({id_col} AS VARCHAR)", seed=seed)
     if group_col is not None and group_rates:
         whens = " ".join(
-            f"WHEN {group_col} = '{g}' THEN {float(v)!r}" for g, v in group_rates.items()
+            "WHEN CAST({c} AS VARCHAR) = '{g}' THEN {v!r}".format(
+                c=group_col, g=str(g).replace("'", "''"), v=float(v)
+            )
+            for g, v in group_rates.items()
         )
         r = f"(CASE {whens} ELSE {float(rate)!r} END)"
     else:

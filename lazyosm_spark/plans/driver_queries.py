@@ -1225,14 +1225,37 @@ _REDUNDANT_TWINS = [
 ]
 
 
+def _current_round() -> int:
+    """Round number inferred from the newest CORRECTNESS_r{N}.json the
+    driver left in the repo root (this round = newest + 1); 1 when none
+    exist (fresh checkout)."""
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry in driver priority order.  The driver's correctness run
+    caps at ~50 of the ~69 registered queries, so ordering decides who
+    gets a driver-green row this round: on ODD rounds the redundant
+    twins go LAST (every family's scale-shaped variant inside the cap —
+    the round-3 layout); on EVEN rounds they go FIRST, so every query
+    gets a driver-green CORRECTNESS row at least every other round
+    (round-3 verdict item 6).  All ~69 stay registered and are
+    value-checked locally via tools/compare_driver.py regardless."""
     merged = dict(QUERIES)
     merged.update(FIXTURE_QUERIES)
-    tail = [n for n in _REDUNDANT_TWINS if n in merged]
-    out = {n: merged[n] for n in merged if n not in tail}
-    for n in tail:
-        out[n] = merged[n]
-    return out
+    twins = [n for n in _REDUNDANT_TWINS if n in merged]
+    rest = [n for n in merged if n not in twins]
+    order = rest + twins if _current_round() % 2 == 1 else twins + rest
+    return {n: merged[n] for n in order}
 
 
 # ======================================================================

@@ -89,7 +89,8 @@ def decode_image(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
             nl += 1
         return np.frombuffer(buf[pos:], dtype=np.uint8).reshape(h, w, 3)
     if fmt == "lossy":
-        assert buf[:4] == LOSSY_MAGIC, "bad lossy magic"
+        if buf[:4] != LOSSY_MAGIC:  # untrusted input: no assert
+            raise ValueError("bad lossy magic")
         ww = int.from_bytes(buf[4:8], "big")
         hh = int.from_bytes(buf[8:12], "big")
         raw = zlib.decompress(buf[12:])
@@ -292,7 +293,7 @@ RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
 
 
 def resize_images_batches_fn(target_w: int, target_h: int):
-    """mapInPandas: decode -> area-mean resample to (target_w, target_h)
+    """mapInPandas: decode -> bilinear resample to (target_w, target_h)
     -> re-encode raw.  Pure numpy (index-map gather + box mean)."""
 
     def resize(px: np.ndarray, tw: int, th: int) -> np.ndarray:
@@ -352,7 +353,9 @@ def decode_wav_pcm16(buf: bytes) -> tuple[np.ndarray, int]:
     mono PCM16; rejects other encodings explicitly."""
     import struct
 
-    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE", "not a WAV file"
+    # untrusted input: explicit raises (assert is stripped under -O)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV file (bad RIFF/WAVE magic)")
     pos, sr, data = 12, None, None
     while pos + 8 <= len(buf):
         cid, ln = buf[pos : pos + 4], struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
@@ -366,7 +369,8 @@ def decode_wav_pcm16(buf: bytes) -> tuple[np.ndarray, int]:
         elif cid == b"data":
             data = body
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
-    assert sr is not None and data is not None, "missing fmt/data chunk"
+    if sr is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
     return np.frombuffer(data, dtype="<i2"), sr
 
 
@@ -501,7 +505,8 @@ def sample_video_frames_batches_fn(every_n: int = 10):
                     continue
                 if r.codec == "lvid":
                     buf = r.bytes
-                    assert buf[:4] == LVID_MAGIC, "bad lvid magic"
+                    if buf[:4] != LVID_MAGIC:  # untrusted input: no assert
+                        raise ValueError("bad lvid magic")
                     w, h, n_frames = struct.unpack("<III", buf[4:16])
                     pos = 16
                     for idx in range(n_frames):

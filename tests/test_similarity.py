@@ -234,13 +234,99 @@ def test_simhash_split_bands_bounds_hot_bucket(spark):
     bands.unpersist()
 
 
+def test_simhash_auto_threshold_derivation():
+    """The default ('auto') split threshold is 8x the uniform-hash
+    per-bucket mean of the narrowest band, floored at 64."""
+    from lazyosm_spark.operators.dedup import _auto_bucket_threshold
+
+    # n_blocks=9 over 60 bits -> narrowest width 6 -> 64 keys
+    assert _auto_bucket_threshold(400, 9) == 64  # 8*ceil(400/64)=56 -> floor
+    assert _auto_bucket_threshold(10_000, 9) == 8 * 157  # ceil(1e4/64)=157
+    assert _auto_bucket_threshold(1, 9) == 64
+    assert _auto_bucket_threshold(10_000_000, 9) == 8 * 156_250
+
+
+def test_simhash_default_call_splits_hot_bucket(spark, monkeypatch):
+    """The DEFAULT simhash_near_pairs call (no bucket_threshold passed)
+    derives a concrete threshold from the corpus count and recursively
+    splits a deliberately hot level-0 bucket — the default call IS the
+    at-scale plan (round-3 verdict item 1).  Hashes are injected via
+    simhash64 so the hot bucket (400 docs sharing block 0's low 7 bits,
+    everything else random) is deterministic."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import lazyosm_spark.operators.dedup as dd
+
+    rng = np.random.default_rng(7)
+    n, r = 400, 8
+    hashes = (
+        (rng.integers(0, 1 << 53, size=n, dtype=np.int64) << 7) | 0x2A
+    ).tolist()
+    sims = spark.createDataFrame(
+        list(enumerate(hashes)), "doc_id long, simhash long"
+    )
+    monkeypatch.setattr(dd, "simhash64", lambda d, i, t: sims)
+
+    captured = {}
+    real_split = dd._split_bands
+
+    def spy(s, mh, nb, thresh, depth):
+        captured["threshold"] = thresh
+        out = real_split(s, mh, nb, thresh, depth).persist()
+        captured["bands"] = out
+        return out
+
+    monkeypatch.setattr(dd, "_split_bands", spy)
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(n)], "doc_id long, text string"
+    )
+    pairs = dd.simhash_near_pairs(docs)  # DEFAULT call
+    got = {tuple(x) for x in pairs.collect()}
+
+    # a concrete int threshold was derived (not None, not the sentinel)
+    assert captured["threshold"] == dd._auto_bucket_threshold(n, r + 1) == 64
+    # the hot block-0 bucket was actually split (child specs exist) and
+    # no mixed-hash bucket is left above the derived threshold
+    bands = captured["bands"]
+    assert bands.filter(F.col("spec") >= r + 1).count() > 0
+    over = (
+        bands.groupBy("spec", "key")
+        .agg(F.count("*").alias("n"), F.countDistinct("simhash").alias("d"))
+        .filter((F.col("n") > 64) & (F.col("d") > 1))
+        .count()
+    )
+    assert over == 0
+    # exactness of the default path vs brute force
+    sa = sims.selectExpr("doc_id da", "simhash xa")
+    sb = sims.selectExpr("doc_id db", "simhash xb")
+    brute = {
+        (x["da"], x["db"], x["h"])
+        for x in sa.crossJoin(sb)
+        .filter(F.col("da") < F.col("db"))
+        .withColumn("h", F.bit_count(F.col("xa").bitwiseXOR(F.col("xb"))))
+        .filter(F.col("h") <= r)
+        .collect()
+    }
+    assert got == brute
+    bands.unpersist()
+
+
 def test_simhash_near_pairs_split_equals_default(spark):
-    """bucket_threshold is pure plan shaping: the split path emits the
-    identical pair set (values included) as the single-level bands."""
+    """bucket_threshold is pure plan shaping: flat bands (None), the
+    auto default, and a pinned aggressive split all emit the identical
+    pair set (values included)."""
     from lazyosm_spark.operators.dedup import simhash_near_pairs
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    base = {
+    flat = {
+        tuple(r)
+        for r in simhash_near_pairs(
+            docs, max_hamming=8, bucket_threshold=None
+        ).collect()
+    }
+    auto = {
         tuple(r) for r in simhash_near_pairs(docs, max_hamming=8).collect()
     }
     split = {
@@ -249,7 +335,7 @@ def test_simhash_near_pairs_split_equals_default(spark):
             docs, max_hamming=8, bucket_threshold=8, max_split_depth=3
         ).collect()
     }
-    assert base == split and len(base) > 0
+    assert flat == auto == split and len(flat) > 0
 
 
 def test_minhash_lsh_recall_vs_exact(spark):
