@@ -1,0 +1,210 @@
+"""Throughput evidence for the round-3 operators at realistic volume
+(round-3 verdict item 3): phash_hamming_knn, the simhash default split
+path, and pack_sequences at 10^6-10^7 rows on local[32], with the
+chosen ladder/split constants recorded next to the numbers.
+
+Inputs are synthesized DETERMINISTICALLY inside Spark (xxhash64 of the
+row id — no RNG state, no external data), shaped like the real
+workloads:
+
+- phash corpus: clusters of 10 images whose hashes differ by <= 4 bits
+  (cluster base = xxhash64(id div 10), two id-derived bit flips) — the
+  near-dup shape phash kNN exists for.  A uniformly random corpus is
+  the information-theoretic worst case (rank-k at ~15+ bits forces the
+  widest radii); real perceptual hashes cluster, and the bench should
+  measure the plan the operator actually runs at scale.
+- simhash corpus: 20-token docs over a small vocabulary with shared
+  cluster stems, so band buckets are genuinely hot and the AUTO
+  threshold's split path actually runs.
+- packing corpus: (doc_id, n_tokens) with n_tokens in [1, 2048].
+
+Every section runs twice and reports both walls (within-session rule,
+BENCH/BASELINE.md) plus rows/s from the better wall.  MUST run
+exclusively — no other Spark session alive on the box.
+
+Usage: python BENCH/run_ops_scale.py [--update-baseline]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_PHASH_ITEMS = 1_000_000
+N_PHASH_QUERIES = 2_000
+N_SIMHASH_DOCS = 1_000_000
+N_PACK_ROWS = 10_000_000
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from lazyosm_spark import get_spark
+
+    spark = get_spark(
+        app="ops_scale",
+        cpus=32,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    results: dict[str, dict] = {}
+
+    def timed(name: str, fn, n_rows: int, constants: dict) -> None:
+        walls = []
+        out_rows = None
+        for rep in range(2):
+            t0 = time.time()
+            out_rows = fn()
+            walls.append(round(time.time() - t0, 2))
+            print(
+                f"# {name} rep{rep}: {walls[-1]}s ({out_rows} result rows)",
+                file=sys.stderr,
+                flush=True,
+            )
+        best = min(walls)
+        results[name] = {
+            "input_rows": n_rows,
+            "result_rows": out_rows,
+            "walls_sec": walls,
+            "rows_per_sec": round(n_rows / best, 1),
+            "constants": constants,
+        }
+
+    # ------------------------------------------------------------------
+    # 1. phash Hamming kNN: 10^6 items, 2k queries, clustered hashes
+    # ------------------------------------------------------------------
+    from lazyosm_spark.operators.knn import phash_hamming_knn
+
+    items = spark.range(N_PHASH_ITEMS).select(
+        F.col("id").alias("image_id"),
+        (
+            F.xxhash64((F.col("id") / 10).cast("long"))
+            .bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), 0) * 0)  # keep type
+            .bitwiseXOR(
+                # two id-derived bit flips -> intra-cluster distance <= 4
+                F.expr("cast(pow(2, pmod(id, 64)) as long)")
+            )
+            .bitwiseXOR(F.expr("cast(pow(2, pmod(id * 7 + 13, 64)) as long)"))
+        ).alias("phash"),
+    )
+    queries = items.filter(F.pmod(F.col("image_id"), F.lit(500)) == 0)
+
+    timed(
+        "phash_hamming_knn",
+        lambda: phash_hamming_knn(items, queries, k=5).count(),
+        N_PHASH_ITEMS,
+        {
+            "k": 5,
+            "n_queries": N_PHASH_QUERIES,
+            "radii": [2, 6, 14, 30, 62],
+            "fallback_salt": 32,
+        },
+    )
+
+    # ------------------------------------------------------------------
+    # 2. simhash near pairs, DEFAULT call (auto split threshold)
+    # ------------------------------------------------------------------
+    from lazyosm_spark.operators.dedup import _auto_bucket_threshold, simhash_near_pairs
+
+    words = [f"w{i:03d}" for i in range(400)]
+    docs = spark.range(N_SIMHASH_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            # 16 cluster-stem tokens (id div 100 -> 10^4 hot stems) + 4
+            # id-unique tokens: hot band buckets with distinct hashes
+            *[
+                F.element_at(
+                    F.array(*[F.lit(w) for w in words]),
+                    (F.pmod(F.xxhash64((F.col("id") / 100).cast("long") + j), 400) + 1).cast("int"),
+                )
+                for j in range(16)
+            ],
+            *[
+                F.element_at(
+                    F.array(*[F.lit(w) for w in words]),
+                    (F.pmod(F.xxhash64(F.col("id") * 4 + j), 400) + 1).cast("int"),
+                )
+                for j in range(4)
+            ],
+        ).alias("text"),
+    )
+    auto_thresh = _auto_bucket_threshold(N_SIMHASH_DOCS, 9)
+    timed(
+        "simhash_near_pairs_default",
+        lambda: simhash_near_pairs(docs, max_hamming=8).count(),
+        N_SIMHASH_DOCS,
+        {
+            "max_hamming": 8,
+            "n_blocks": 9,
+            "bucket_threshold": f"auto -> {auto_thresh}",
+            "max_split_depth": 4,
+        },
+    )
+
+    # ------------------------------------------------------------------
+    # 3. pack_sequences: 10^7 docs through the distributed prefix sum
+    # ------------------------------------------------------------------
+    from lazyosm_spark.operators.packing import pack_sequences
+
+    pdocs = spark.range(N_PACK_ROWS).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(2048)) + 1).alias("n_tokens"),
+    )
+    timed(
+        "pack_sequences",
+        lambda: pack_sequences(pdocs, ctx_len=2048)
+        .agg(F.max("seq_id"), F.count("*"))
+        .collect()
+        and N_PACK_ROWS,
+        N_PACK_ROWS,
+        {"ctx_len": 2048, "n_buckets": 256},
+    )
+
+    print(json.dumps(results, indent=2))
+
+    if "--update-baseline" in sys.argv:
+        md = ["## Operator throughput at realistic volume (round 4)\n"]
+        md.append(
+            "Round-3 operators measured at 10^6-10^7 rows on local[32]\n"
+            "(`BENCH/run_ops_scale.py`, exclusive idle-box run; both walls\n"
+            "reported per the within-session variance rule; inputs\n"
+            "synthesized deterministically from xxhash64(id) — see the\n"
+            "script header for the workload shapes):\n"
+        )
+        md.append("| operator | input rows | result rows | walls (s) | rows/s | constants |")
+        md.append("|---|---|---|---|---|---|")
+        for name, r in results.items():
+            md.append(
+                f"| {name} | {r['input_rows']:,} | {r['result_rows']:,} | "
+                f"{r['walls_sec']} | {r['rows_per_sec']:,} | "
+                f"{json.dumps(r['constants'])} |"
+            )
+        block = "\n".join(md) + "\n"
+        path = os.path.join(REPO, "BENCH", "BASELINE.md")
+        old = open(path).read()
+        marker = "## Operator throughput at realistic volume (round 4)"
+        if marker in old:
+            # replace the existing section (up to the next ## or EOF)
+            start = old.index(marker)
+            rest = old[start + len(marker):]
+            nxt = rest.find("\n## ")
+            end = start + len(marker) + (nxt if nxt >= 0 else len(rest))
+            old = old[:start] + block + old[end:].lstrip("\n")
+        else:
+            anchor = "## Appendix"
+            idx = old.find(anchor)
+            old = (
+                old[:idx] + block + "\n" + old[idx:] if idx >= 0 else old + "\n" + block
+            )
+        with open(path, "w") as f:
+            f.write(old)
+        print("# BENCH/BASELINE.md updated", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -148,9 +148,14 @@ def main() -> None:
             (F.lit(-180.0) + 360.0 * (i * phi - F.floor(i * phi))).alias("lon"),
             (F.lit(-85.0) + 170.0 * (i * phi2 - F.floor(i * phi2))).alias("lat"),
         )
-        # auto res from density; n_points hint skips the count job
-        return grid_knn(q, pts, k=5, n_points=n_points).count()
+        # auto res from density; n_points/n_queries hints skip the
+        # dispatch count jobs
+        return grid_knn(
+            q, pts, k=5, n_points=n_points, n_queries=n_queries_knn
+        ).count()
 
+    part_bench = spark.read.parquet(os.path.join(SF_DIR, "part.parquet"))
+    n_queries_knn = part_bench.count()
     timed("grid_knn", knn_run)
 
     # q6: minhash LSH dedup pipeline over documents

@@ -61,6 +61,8 @@ def grid_knn(
     level_step: int = 2,
     target_candidates: int | None = None,
     n_points: int | None = None,
+    n_queries: int | None = None,
+    broadcast_rows: int = 4_000_000,
     materialize: bool = True,
 ) -> DataFrame:
     """queries(query_id, lon, lat) × points(point_id, lon, lat) ->
@@ -80,6 +82,19 @@ def grid_knn(
     resolution whose grid the ring fully covers (the provably-exact
     terminal level).  No cross join at any level — the plan-audit
     (tools/explain_plans.py) asserts no CartesianProduct node.
+
+    Join-side dispatch: the pending count is KNOWN at every level
+    (n_queries at level 0 — counted once unless hinted — and the
+    emptiness probe's count() after that), so whenever
+    pending x ring_cells <= ``broadcast_rows`` the exploded query side
+    is broadcast and the points table is only SCANNED, never shuffled.
+    This matters twice: at level 0 a small-panel query set turns the
+    whole level into one scan + one candidate shuffle, and at
+    escalation levels (a handful of pending stragglers by design) it
+    prevents re-shuffling the full points table per level — at 100 TB
+    that re-shuffle would dwarf the actual work.  Above the threshold
+    (huge query panels) both sides shuffle on the cell key, the
+    all-pairs-safe plan.
 
     ``materialize=True`` (default) eagerly localCheckpoints the final
     union and unpersists every per-level cache, so a finished call
@@ -122,6 +137,8 @@ def grid_knn(
         r -= level_step
 
     pending = q
+    n_pending = queries.count() if n_queries is None else n_queries
+    ring_cells = (2 * start_ring + 1) ** 2
     done_parts: list[DataFrame] = []
     prev_pending: DataFrame | None = None  # persisted nxt superseded per level
     wq = Window.partitionBy("query_id")
@@ -129,15 +146,18 @@ def grid_knn(
         is_final = i == len(levels) - 1
         cell_h = 180.0 / (1 << res_l)  # lat extent of a cell (tighter bound)
         guarantee = float(start_ring * cell_h)
+        exploded = pending.select(
+            "query_id",
+            "qlon",
+            "qlat",
+            F.explode(
+                k_ring(cell_encode("qlon", "qlat", res_l), start_ring)
+            ).alias("pcell"),
+        )
+        if n_pending * ring_cells <= broadcast_rows:
+            exploded = F.broadcast(exploded)
         cand = (
-            pending.select(
-                "query_id",
-                "qlon",
-                "qlat",
-                F.explode(
-                    k_ring(cell_encode("qlon", "qlat", res_l), start_ring)
-                ).alias("pcell"),
-            )
+            exploded
             .join(p.withColumn("pcell", cell_encode("plon", "plat", res_l)), "pcell")
             .select(
                 "query_id",
@@ -147,9 +167,17 @@ def grid_knn(
                 ).alias("dist"),
             )
         )
+        # Non-final levels: a query retires iff its rank-k distance over
+        # ALL ring candidates is <= guarantee — which holds iff it has
+        # >= k candidates WITHIN guarantee, and then its top-k over just
+        # those equals the true top-k.  So drop beyond-guarantee
+        # candidates BEFORE the window (cheap JVM filter): provably
+        # identical output, and the shuffle + top-k window processes
+        # ~pi*r^2/(2r+1)^2 (~35-50%) of the ring candidates.
+        if not is_final:
+            cand = cand.filter(F.col("dist") <= F.lit(guarantee))
         # single stats pass: kth = dist of the rank-k row (NULL when the
-        # query has < k candidates), so n==k and the distance bound are
-        # one window aggregate instead of two
+        # query has < k candidates within the bound)
         kth = F.max(F.when(F.col("rank") == k, F.col("dist"))).over(wq)
         scored = _topk(cand, k).withColumn("kth", kth)
         # at the terminal level the ring covers the whole grid, so the
@@ -158,7 +186,7 @@ def grid_knn(
         ok = (
             scored
             if is_final
-            else scored.filter(F.col("kth") <= F.lit(guarantee))
+            else scored.filter(F.col("kth").isNotNull())
         ).select("query_id", "neighbor_id", "rank", "dist").persist()
         done_parts.append(ok)
         if is_final:
@@ -168,7 +196,8 @@ def grid_knn(
         # reused by the final union) and doubles as the emptiness probe
         # (a limit(1).count() probe would re-execute the whole upstream
         # plan under AQE)
-        if nxt.count() == 0:
+        n_pending = nxt.count()
+        if n_pending == 0:
             nxt.unpersist()
             break
         # the superseded pending's cache is no longer referenced (ok and
