@@ -102,13 +102,28 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def timed(name: str, fn):
+    import statistics
+
+    def timed(name: str, fn, reps: int = 3):
+        """Median-of-reps wall per query (variance rule, README): a
+        single sample mixes JIT/codegen warm-up into the number — on
+        this box that is up to ~2x of a short query's steady state.
+        All walls are published in extras for transparency."""
         print(f"# running {name}...", file=sys.stderr, flush=True)
-        t0 = time.time()
-        n = fn()
-        dt = time.time() - t0
+        walls = []
+        n = None
+        for _ in range(reps):
+            t0 = time.time()
+            n = fn()
+            walls.append(time.time() - t0)
+        dt = statistics.median(walls)
         timings[name] = round(dt, 3)
-        print(f"# {name}: {dt:.1f}s ({n} rows)", file=sys.stderr, flush=True)
+        extras[f"{name}_walls"] = [round(x, 2) for x in walls]
+        print(
+            f"# {name}: median {dt:.1f}s of {[f'{x:.1f}' for x in walls]} ({n} rows)",
+            file=sys.stderr,
+            flush=True,
+        )
         return n, dt
 
     # warm the JVM + parquet footers once

@@ -394,17 +394,33 @@ def _partition_ranges(
     return out
 
 
+AUTO_BUCKET_THRESHOLD = 1024
+
+
 def _auto_bucket_threshold(n_docs: int, n_blocks: int) -> int:
-    """Derived split threshold for ``_split_bands``: 8x the uniform-hash
-    per-bucket mean of the NARROWEST level-0 band (width 60 // n_blocks
-    bits -> 2^w distinct keys).  A bucket hotter than 8x the uniform
-    mean is genuinely skewed (real text simhashes cluster), so it is
-    worth the (r+1)-way explode; the floor of 64 keeps small inputs on
-    the flat path, where the worst bucket self-join is a trivial 64^2
-    comparisons."""
-    width = 60 // n_blocks
-    mean = max(1, -(-n_docs // (1 << width)))  # ceil(n / 2^w)
-    return max(64, 8 * mean)
+    """Split threshold for ``_split_bands`` on the default path.
+
+    The threshold must be an ABSOLUTE constant, not a multiple of the
+    per-bucket mean: the band self-join emits ~sum(bucket_size^2)/2
+    pairs, and under uniform hashing every bucket sits near the mean
+    n / 2^w — so any mean-relative threshold leaves the join at
+    ~n^2 / 2^w, quadratic in corpus size (the exact failure this lever
+    exists to prevent).  A constant t caps the join at ~n*t/2 rows per
+    band — LINEAR in n.  Each split level trades an (r+1)x row explode
+    on the still-hot rows for a ~2^w_child shrink in their bucket
+    sizes (w_child ~ 6 bits at r=8), a net ~7x sum(size^2) reduction
+    per level, so the ladder converges in ~ceil(log_{2^w}(n / (2^w*t)))
+    levels (~3 levels at 10^9 docs).
+
+    t = 1024 bounds one bucket's self-join to ~5*10^5 pairs (a
+    fraction of a second inside one task) while keeping typical
+    corpora at <= 2 split levels; inputs below the threshold never
+    split at all (the flat path is already linear there).  The n_docs/
+    n_blocks arguments are kept so a future derivation can use them —
+    and so callers/tests can see the chosen constant next to the
+    corpus size it was chosen for."""
+    del n_docs, n_blocks
+    return AUTO_BUCKET_THRESHOLD
 
 
 def _split_bands(
@@ -456,8 +472,13 @@ def _split_bands(
         sizes = bands.groupBy("spec", "key").agg(F.count("*").alias("_n"))
         # localCheckpoint per level: truncates the lineage (a per-level
         # when-chain/UDF plan otherwise compounds into multi-MiB task
-        # binaries) and doubles as the one driver action per level
-        tagged = bands.join(sizes, ["spec", "key"]).localCheckpoint()
+        # binaries) and doubles as the one driver action per level.
+        # sizes is FORCED to the broadcast side: it is one row per
+        # occupied bucket (orders of magnitude below the band table),
+        # but after the child-key pandas UDF Catalyst has no stats and
+        # was observed picking the BAND side as the build relation —
+        # a 9.2 GiB broadcast attempt at 10^6 docs
+        tagged = bands.join(F.broadcast(sizes), ["spec", "key"]).localCheckpoint()
         level_ckpts.append(tagged)
         cold = tagged.filter(F.col("_n") <= bucket_threshold).drop("_n")
         parts.append(cold)
@@ -594,11 +615,12 @@ def simhash_near_pairs(
     by r+1 disjoint sub-blocks of its UNUSED bits (exact — see
     _split_bands), multiplying only the hot rows by r+1 per level while
     dividing their bucket sizes by ~2^(new key width).  The DEFAULT
-    ``"auto"`` derives the threshold from one cheap count of the
-    (already persisted) simhash table — 8x the uniform-hash per-bucket
-    mean of the narrowest band, floored at 64 (see
-    _auto_bucket_threshold) — so the default call IS the at-scale plan;
-    pass an int to pin it or ``None`` to force single-level bands.
+    ``"auto"`` uses AUTO_BUCKET_THRESHOLD (1024) — an ABSOLUTE
+    constant, because a mean-relative threshold would never fire under
+    uniform hashing and leave the join quadratic (see
+    _auto_bucket_threshold for the derivation) — so the default call
+    IS the at-scale plan; pass an int to pin it or ``None`` to force
+    single-level bands.
     Recall stays 1 on every path; pytest pins all paths equal to brute
     force and pins the default path splitting a deliberately hot
     bucket.

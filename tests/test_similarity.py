@@ -235,15 +235,19 @@ def test_simhash_split_bands_bounds_hot_bucket(spark):
 
 
 def test_simhash_auto_threshold_derivation():
-    """The default ('auto') split threshold is 8x the uniform-hash
-    per-bucket mean of the narrowest band, floored at 64."""
-    from lazyosm_spark.operators.dedup import _auto_bucket_threshold
+    """The default ('auto') split threshold is an ABSOLUTE constant —
+    a mean-relative threshold would leave the band self-join quadratic
+    under uniform hashing (every bucket sits near the mean, so nothing
+    would ever split); a constant t caps the join at ~n*t/2 rows per
+    band, linear in corpus size."""
+    from lazyosm_spark.operators.dedup import (
+        AUTO_BUCKET_THRESHOLD,
+        _auto_bucket_threshold,
+    )
 
-    # n_blocks=9 over 60 bits -> narrowest width 6 -> 64 keys
-    assert _auto_bucket_threshold(400, 9) == 64  # 8*ceil(400/64)=56 -> floor
-    assert _auto_bucket_threshold(10_000, 9) == 8 * 157  # ceil(1e4/64)=157
-    assert _auto_bucket_threshold(1, 9) == 64
-    assert _auto_bucket_threshold(10_000_000, 9) == 8 * 156_250
+    assert AUTO_BUCKET_THRESHOLD == 1024
+    for n in (1, 400, 10_000, 10_000_000, 10**9):
+        assert _auto_bucket_threshold(n, 9) == AUTO_BUCKET_THRESHOLD
 
 
 def test_simhash_default_call_splits_hot_bucket(spark, monkeypatch):
@@ -259,7 +263,7 @@ def test_simhash_default_call_splits_hot_bucket(spark, monkeypatch):
     import lazyosm_spark.operators.dedup as dd
 
     rng = np.random.default_rng(7)
-    n, r = 400, 8
+    n, r = 1500, 8  # hot bucket must exceed the 1024 auto threshold
     hashes = (
         (rng.integers(0, 1 << 53, size=n, dtype=np.int64) << 7) | 0x2A
     ).tolist()
@@ -286,7 +290,8 @@ def test_simhash_default_call_splits_hot_bucket(spark, monkeypatch):
     got = {tuple(x) for x in pairs.collect()}
 
     # a concrete int threshold was derived (not None, not the sentinel)
-    assert captured["threshold"] == dd._auto_bucket_threshold(n, r + 1) == 64
+    thresh = dd._auto_bucket_threshold(n, r + 1)
+    assert captured["threshold"] == thresh == 1024
     # the hot block-0 bucket was actually split (child specs exist) and
     # no mixed-hash bucket is left above the derived threshold
     bands = captured["bands"]
@@ -294,7 +299,7 @@ def test_simhash_default_call_splits_hot_bucket(spark, monkeypatch):
     over = (
         bands.groupBy("spec", "key")
         .agg(F.count("*").alias("n"), F.countDistinct("simhash").alias("d"))
-        .filter((F.col("n") > 64) & (F.col("d") > 1))
+        .filter((F.col("n") > thresh) & (F.col("d") > 1))
         .count()
     )
     assert over == 0
