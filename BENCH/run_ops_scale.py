@@ -54,7 +54,11 @@ def main() -> None:
     )
     results: dict[str, dict] = {}
 
+    only = {s for s in os.environ.get("OPS_ONLY", "").split(",") if s}
+
     def timed(name: str, fn, n_rows: int, constants: dict, reps: int = 2) -> None:
+        if only and name not in only:
+            return
         walls = []
         out_rows = None
         for rep in range(reps):
@@ -80,16 +84,20 @@ def main() -> None:
     # ------------------------------------------------------------------
     from lazyosm_spark.operators.knn import phash_hamming_knn
 
+    # two id-derived single-bit flips -> intra-cluster distance <= 4.
+    # shiftleft (not pow): cast(pow(2,63) as double->long) saturates to
+    # Long.MaxValue = 63 set bits, which would throw ~3% of items far
+    # outside their cluster and silently change the benched workload
     items = spark.range(N_PHASH_ITEMS).select(
         F.col("id").alias("image_id"),
         (
             F.xxhash64((F.col("id") / 10).cast("long"))
-            .bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), 0) * 0)  # keep type
             .bitwiseXOR(
-                # two id-derived bit flips -> intra-cluster distance <= 4
-                F.expr("cast(pow(2, pmod(id, 64)) as long)")
+                F.expr("shiftleft(cast(1 as bigint), cast(pmod(id, 64) as int))")
             )
-            .bitwiseXOR(F.expr("cast(pow(2, pmod(id * 7 + 13, 64)) as long)"))
+            .bitwiseXOR(
+                F.expr("shiftleft(cast(1 as bigint), cast(pmod(id * 7 + 13, 64) as int))")
+            )
         ).alias("phash"),
     )
     queries = items.filter(F.pmod(F.col("image_id"), F.lit(500)) == 0)
@@ -175,6 +183,16 @@ def main() -> None:
     print(json.dumps(results, indent=2))
 
     if "--update-baseline" in sys.argv:
+        # merge into the committed sidecar so a partial (OPS_ONLY) run
+        # refreshes its rows without dropping the others' evidence
+        sidecar = os.path.join(REPO, "BENCH", "ops_scale_results.json")
+        merged: dict[str, dict] = {}
+        if os.path.exists(sidecar):
+            merged = json.load(open(sidecar))
+        merged.update(results)
+        with open(sidecar, "w") as f:
+            json.dump(merged, f, indent=2)
+        results = merged
         md = ["## Operator throughput at realistic volume (round 4)\n"]
         md.append(
             "Round-3 operators measured at 10^6-10^7 rows on local[32]\n"
@@ -191,6 +209,28 @@ def main() -> None:
                 f"{r['walls_sec']} | {r['rows_per_sec']:,} | "
                 f"{json.dumps(r['constants'])} |"
             )
+        md.append(
+            """
+Context:
+- `simhash_near_pairs_default` runs ONE rep by design: EXACT r=8
+  near-dup detection over 10^6 quasi-random 60-bit hashes is
+  intrinsically ~10^10 band-bucket comparisons (band keys are only
+  ~6.7 bits wide), so the multi-minute wall is the honest cost of the
+  exact path, not a plan defect.  The auto threshold (1024, an
+  absolute constant — see `_auto_bucket_threshold` for why a
+  mean-relative threshold would be quadratic) keeps every bucket's
+  self-join bounded to ~5*10^5 pairs inside one task: work scales
+  ~n * t * (r+1)^levels, evenly partitioned, no straggler bucket.
+  Corpora wanting faster dedup use max_hamming <= 4 (wider band keys
+  -> ~100x fewer collisions) or the minhash-LSH pipeline.
+- `phash_hamming_knn`'s corpus is near-dup clusters of 10 (<= 4-bit
+  intra-cluster distance): virtually every query retires at radius 6,
+  the realistic shape; a uniformly random corpus would push rank-5
+  neighbors to ~15 bits and force the expensive radii by
+  information-theoretic necessity.
+- `pack_sequences` is prefix-sum-bound: two passes over
+  (doc_id, n_tokens) plus a 256-value driver exchange."""
+        )
         block = "\n".join(md) + "\n"
         path = os.path.join(REPO, "BENCH", "BASELINE.md")
         old = open(path).read()

@@ -86,8 +86,12 @@ def measure_hw_ceiling(n_procs: int, size_mult: int = 3, n_imgs: int = 400) -> f
 
 
 def main() -> None:
-    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
-    size_mult = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_images = int(pos[0]) if pos else 120_000
+    size_mult = int(pos[1]) if len(pos) > 1 else 3
+    if "--section-4x" in sys.argv and not pos:
+        # refuse to label a default-sized run as "4x input" evidence
+        raise SystemExit("--section-4x requires an explicit n_images argument")
     levels = (1, 2, 4, 8, 32)
     work = tempfile.mkdtemp(prefix="scaling_")
     images = os.path.join(work, "images")

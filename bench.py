@@ -288,15 +288,25 @@ def main() -> None:
     )
     extras["skew_memberships"] = n_s
     # THE GATE: salting must cut the straggler spread in every trial
-    # whose probes resolved (NaN = REST probe degraded, excluded)
+    # whose probes resolved (NaN = REST probe degraded, excluded).
+    # Zero resolved trials = INDETERMINATE (no spread evidence), which
+    # is not the same claim as "salting failed to cut the spread".
     resolved = [
         t for t in trials if not (math.isnan(t["sp_u"]) or math.isnan(t["sp_s"]))
     ]
-    gate = bool(resolved) and all(t["sp_u"] > t["sp_s"] for t in resolved)
     extras["skew_spread_gate_trials_resolved"] = len(resolved)
-    extras["skew_spread_gate_all_trials"] = gate
-    if not gate:
-        print("# WARNING: skew spread gate FAILED", file=sys.stderr, flush=True)
+    if not resolved:
+        extras["skew_spread_gate_all_trials"] = "indeterminate"
+        print(
+            "# WARNING: skew spread gate INDETERMINATE (0 probes resolved)",
+            file=sys.stderr,
+            flush=True,
+        )
+    else:
+        gate = all(t["sp_u"] > t["sp_s"] for t in resolved)
+        extras["skew_spread_gate_all_trials"] = gate
+        if not gate:
+            print("# WARNING: skew spread gate FAILED", file=sys.stderr, flush=True)
     pts_skew.unpersist()
 
     total = round(sum(timings.values()), 3)

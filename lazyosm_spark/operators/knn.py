@@ -83,11 +83,12 @@ def grid_knn(
     terminal level).  No cross join at any level — the plan-audit
     (tools/explain_plans.py) asserts no CartesianProduct node.
 
-    Join-side dispatch: the pending count is KNOWN at every level
-    (n_queries at level 0 — counted once unless hinted — and the
-    emptiness probe's count() after that), so whenever
-    pending x ring_cells <= ``broadcast_rows`` the exploded query side
-    is broadcast and the points table is only SCANNED, never shuffled.
+    Join-side dispatch: whenever the pending count is KNOWN (the
+    ``n_queries`` hint at level 0 — no count job is added for unhinted
+    callers — and the emptiness probe's count() at every later level)
+    and pending x ring_cells <= ``broadcast_rows``, the exploded query
+    side is broadcast and the points table is only SCANNED, never
+    shuffled.
     This matters twice: at level 0 a small-panel query set turns the
     whole level into one scan + one candidate shuffle, and at
     escalation levels (a handful of pending stragglers by design) it
@@ -137,7 +138,12 @@ def grid_knn(
         r -= level_step
 
     pending = q
-    n_pending = queries.count() if n_queries is None else n_queries
+    # No extra count job for unhinted callers: level 0 broadcasts only
+    # when the caller supplied n_queries; escalation levels always know
+    # their pending count from the emptiness probe, so the expensive
+    # case (re-shuffling the full points table for a few stragglers)
+    # is avoided either way.
+    n_pending = n_queries  # None = unknown -> shuffle plan at level 0
     ring_cells = (2 * start_ring + 1) ** 2
     done_parts: list[DataFrame] = []
     prev_pending: DataFrame | None = None  # persisted nxt superseded per level
@@ -154,7 +160,7 @@ def grid_knn(
                 k_ring(cell_encode("qlon", "qlat", res_l), start_ring)
             ).alias("pcell"),
         )
-        if n_pending * ring_cells <= broadcast_rows:
+        if n_pending is not None and n_pending * ring_cells <= broadcast_rows:
             exploded = F.broadcast(exploded)
         cand = (
             exploded

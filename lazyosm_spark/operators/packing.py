@@ -186,15 +186,23 @@ def stratified_sample(
     md5(seed || id) / 2^60 < rate — reproducible at any parallelism,
     no RNG state, and a resumable pipeline re-selects the identical
     rows.  ``group_rates`` overrides the rate per group (stratum
-    re-weighting); unlisted groups fall back to ``rate``."""
+    re-weighting); unlisted groups fall back to ``rate``.  Group keys
+    match on their STRING form (both the column and the dict keys are
+    stringified) so the DuckDB oracle twin — which can only compare
+    quoted literals — selects the identical rows for non-string group
+    columns too."""
     u = md5_long(F.col(id_col).cast("string"), seed=seed) / F.lit(float(_HASH_SPAN))
     if group_col is not None and group_rates:
         r = F.coalesce(
             F.element_at(
                 F.create_map(
-                    *[F.lit(x) for kv in group_rates.items() for x in kv]
+                    *[
+                        F.lit(x)
+                        for g, v in group_rates.items()
+                        for x in (str(g), float(v))
+                    ]
                 ),
-                F.col(group_col),
+                F.col(group_col).cast("string"),
             ),
             F.lit(float(rate)),
         )

@@ -1225,7 +1225,7 @@ _REDUNDANT_TWINS = [
 ]
 
 
-def _current_round() -> int:
+def _infer_round() -> int:
     """Round number inferred from the newest CORRECTNESS_r{N}.json the
     driver left in the repo root (this round = newest + 1); 1 when none
     exist (fresh checkout)."""
@@ -1239,6 +1239,18 @@ def _current_round() -> int:
         if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
     ]
     return (max(rounds) + 1) if rounds else 1
+
+
+# Pinned ONCE at import: queries() and oracle_sql() must agree on the
+# registry order within a process even if the driver writes this
+# round's CORRECTNESS file between the two calls (or a retry runs
+# after it landed) — a call-time inference could flip the parity and
+# mispair a capped run's query set against its oracle list.
+_CURRENT_ROUND = _infer_round()
+
+
+def _current_round() -> int:
+    return _CURRENT_ROUND
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -294,7 +294,7 @@ RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
 
 def resize_images_batches_fn(target_w: int, target_h: int):
     """mapInPandas: decode -> bilinear resample to (target_w, target_h)
-    -> re-encode raw.  Pure numpy (index-map gather + box mean)."""
+    -> re-encode raw.  Pure numpy (index-map gather, 4-tap blend)."""
 
     def resize(px: np.ndarray, tw: int, th: int) -> np.ndarray:
         h, w = px.shape[:2]

@@ -297,16 +297,21 @@ def test_phash_hamming_knn_equals_brute(spark):
 
     items, queries = _phash_corpus(spark, 4000, 10_000, 500)
     items, queries = items.persist(), queries.persist()
-    out = phash_hamming_knn(items, queries, k=5)
+    # materialize=False: the default checkpoints the result, whose
+    # explained plan is just a Scan ExistingRDD — the no-cartesian
+    # assertions must see the LAZY ladder plan to mean anything
+    lazy = phash_hamming_knn(items, queries, k=5, materialize=False)
     buf = io.StringIO()
     with redirect_stdout(buf):
-        out.explain("formatted")
+        lazy.explain("formatted")
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # values from the same lazy plan (identical to the default path,
+    # which only adds a checkpoint — pinned by fx_phash_hamming_knn)
     got = {
         (r["query_id"], r["rank"]): (r["neighbor_id"], r["dist"])
-        for r in out.collect()
+        for r in lazy.collect()
     }
     want = {
         (r["query_id"], r["rank"]): (r["neighbor_id"], r["dist"])
