@@ -385,6 +385,28 @@ def q_semi(spark, sf_dir):
 
 
 @_register(
+    "bloom_semi_join",
+    """
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+""",
+)
+def q_bloom_semi(spark, sf_dir):
+    """Bloom-prefiltered semi join (operators/bloom.py): the big side
+    is cut to bloom survivors BEFORE the exact join, so at 100 TB the
+    shuffle carries ~matches + 0.8% FPs instead of the whole table;
+    the final exact semi join removes the FPs, so the oracle is the
+    plain IN-subquery."""
+    from lazyosm_spark.operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return bloom_semi_join(
+        li, o, key_col="l_orderkey", small_key_col="o_orderkey"
+    ).select("l_orderkey", "l_linenumber")
+
+
+@_register(
     "anti_join_missing",
     """
 SELECT c_custkey FROM customer c

@@ -37,6 +37,9 @@ def engine_confs(shuffle_partitions: int) -> dict[str, str]:
         # parquet scan sizing: at 100 TB this bounds per-task input
         "spark.sql.files.maxPartitionBytes": "134217728",
         "spark.sql.parquet.aggregatePushdown": "true",
+        # runtime bloom pushdown for shuffle joins (Spark's automatic
+        # form of operators/bloom.py's explicit semi-join reduction)
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.ui.enabled": "false",
         "spark.driver.extraJavaOptions": "-Djava.io.tmpdir=/tmp",
