@@ -180,6 +180,25 @@ def main() -> None:
         {"ctx_len": 2048, "n_buckets": 256},
     )
 
+    # ------------------------------------------------------------------
+    # 4. bloom_semi_join: 10^7-row big side vs 10^5-key small side
+    # ------------------------------------------------------------------
+    from lazyosm_spark.operators.bloom import bloom_semi_join
+
+    big = spark.range(int(10_000_000 * _SCALE)).select(
+        F.col("id").alias("row_id"),
+        F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("key"),
+    )
+    small = spark.range(int(100_000 * _SCALE)).select(
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1_000_000))).alias("key")
+    )
+    timed(
+        "bloom_semi_join",
+        lambda: bloom_semi_join(big, small, key_col="key").count(),
+        int(10_000_000 * _SCALE),
+        {"bits_per_key": 10, "n_hashes": 7, "n_small_keys": int(100_000 * _SCALE)},
+    )
+
     print(json.dumps(results, indent=2))
 
     if "--update-baseline" in sys.argv:
@@ -229,7 +248,11 @@ Context:
   neighbors to ~15 bits and force the expensive radii by
   information-theoretic necessity.
 - `pack_sequences` is prefix-sum-bound: two passes over
-  (doc_id, n_tokens) plus a 256-value driver exchange."""
+  (doc_id, n_tokens) plus a 256-value driver exchange.
+- `bloom_semi_join` joins a 10^7-row big side against a 10^5-key
+  small side: the broadcast bitmap probe cuts the big side to ~9.5%
+  survivors before the only shuffle — the wall is scan + Arrow probe
+  bound."""
         )
         block = "\n".join(md) + "\n"
         path = os.path.join(REPO, "BENCH", "BASELINE.md")
