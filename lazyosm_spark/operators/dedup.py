@@ -595,6 +595,7 @@ def simhash_near_pairs(
     n_blocks: int | None = None,
     bucket_threshold: int | None | str = "auto",
     max_split_depth: int = 4,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """EXACT near-dup pairs by SimHash Hamming distance via the standard
     block-pigeonhole trick: split the 60-bit hash into n_blocks bands;
@@ -621,9 +622,23 @@ def simhash_near_pairs(
     _auto_bucket_threshold for the derivation) — so the default call
     IS the at-scale plan; pass an int to pin it or ``None`` to force
     single-level bands.
-    Recall stays 1 on every path; pytest pins all paths equal to brute
-    force and pins the default path splitting a deliberately hot
-    bucket.
+    ``collapse_identical`` is the duplicate-heavy-corpus lever: web
+    corpora carry clusters of byte-identical docs whose simhashes are
+    EQUAL, and an identical-hash mega-cluster is irreducible by bucket
+    splitting (its unused bits are identical too) — the band machinery
+    would drag the whole cluster through every level.  With the flag
+    on, banding runs over one representative per DISTINCT hash (cost
+    scales with distinct hashes, not docs) and doc-level pairs are
+    re-expanded afterwards: cross-hash pairs by joining members back
+    on each side's hash, intra-hash pairs (hamming 0) by a
+    per-multi-hash self join.  The OUTPUT is identical either way
+    (pytest pins it); note that for a g-doc identical cluster the
+    output itself contains C(g, 2) pairs — at mega-dup scale prefer
+    ``exact_dedup``/``connected_components``, which report groups, not
+    pairs.  Off by default only because the common path's plan is
+    unchanged without it; recall stays 1 on every path; pytest pins
+    all paths equal to brute force and pins the default path splitting
+    a deliberately hot bucket.
     -> (doc_id_a, doc_id_b, hamming)."""
     if n_blocks is None:
         n_blocks = max_hamming + 1
@@ -633,13 +648,15 @@ def simhash_near_pairs(
         raise ValueError(
             f"bucket_threshold must be an int, None, or 'auto', got {bucket_threshold!r}"
         )
+    if bucket_threshold == "auto":
+        bucket_threshold = _auto_bucket_threshold(0, n_blocks)  # constant
     sims = simhash64(docs, id_col, text_col)
+    if collapse_identical:
+        return _near_pairs_collapsed(
+            sims, max_hamming, n_blocks, bucket_threshold, max_split_depth
+        )
     if bucket_threshold is not None:
         sims = sims.persist()
-    if bucket_threshold == "auto":
-        # one count over the persisted simhash table (a pass the band
-        # build pays anyway) derives the split threshold
-        bucket_threshold = _auto_bucket_threshold(sims.count(), n_blocks)
     bands = _split_bands(sims, max_hamming, n_blocks, bucket_threshold, max_split_depth)
     if bucket_threshold is not None:
         # every returned part derives from a localCheckpoint inside
@@ -660,3 +677,82 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def _near_pairs_collapsed(
+    sims: DataFrame,
+    max_hamming: int,
+    n_blocks: int,
+    bucket_threshold: int | None,
+    max_split_depth: int,
+) -> DataFrame:
+    """simhash_near_pairs(collapse_identical=True) body: band over one
+    representative per DISTINCT hash, then re-expand to doc pairs.
+
+    Output is identical to the direct path (pytest pins it); cost of
+    the band machinery scales with distinct hashes d instead of docs n
+    — the lever for duplicate-heavy corpora where identical-hash
+    clusters are irreducible by bucket splitting.  The returned plan is
+    backed by TWO checkpoints (the (doc_id, simhash) table and the
+    rep-level pair set) — both are result-backing, not superseded;
+    pytest bounds the call at <= 2 persistent RDDs."""
+    # one narrow materialization backs every downstream read (members
+    # are joined on each side of the expansion)
+    sims_ck = sims.localCheckpoint(eager=True)
+    reps = sims_ck.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
+    bands = _split_bands(
+        reps.select("doc_id", "simhash"),
+        max_hamming,
+        n_blocks,
+        bucket_threshold,
+        max_split_depth,
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    rep_pairs = (
+        a.join(b, ["spec", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        # rep-level pairs are the SMALL set (<= true near-pair hash
+        # pairs); materializing them frees the band checkpoint below
+        .localCheckpoint(eager=True)
+    )
+    free_local_checkpoint(bands)
+    ma = sims_ck.select(F.col("simhash").alias("ha"), F.col("doc_id").alias("da"))
+    mb = sims_ck.select(F.col("simhash").alias("hb"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_pairs.join(ma, "ha")
+        .join(mb, "hb")
+        .select(
+            F.least("da", "db").alias("doc_id_a"),
+            F.greatest("da", "db").alias("doc_id_b"),
+            "hamming",
+        )
+    )
+    multi = (
+        sims_ck.groupBy("simhash")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("simhash")
+    )
+    sm = sims_ck.join(multi, "simhash")
+    x = sm.alias("x")
+    y = sm.alias("y")
+    intra = (
+        x.join(y, "simhash")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_id_a"),
+            F.col("y.doc_id").alias("doc_id_b"),
+            F.bit_count(F.lit(0).cast("long")).alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)

@@ -343,6 +343,79 @@ def test_simhash_near_pairs_split_equals_default(spark):
     assert flat == auto == split and len(flat) > 0
 
 
+def test_simhash_collapse_identical_equals_default(spark):
+    """collapse_identical=True (band over distinct hashes, re-expand
+    doc pairs) emits the IDENTICAL pair set — values and hamming
+    included — as the direct path, on real documents."""
+    from lazyosm_spark.operators.dedup import simhash_near_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = {
+        tuple(r) for r in simhash_near_pairs(docs, max_hamming=8).collect()
+    }
+    coll = {
+        tuple(r)
+        for r in simhash_near_pairs(
+            docs, max_hamming=8, collapse_identical=True
+        ).collect()
+    }
+    assert base == coll and len(base) > 0
+
+
+def test_simhash_collapse_mega_dup_cluster(spark, monkeypatch):
+    """A 300-doc identical-hash cluster (irreducible by bucket
+    splitting) plus scattered near hashes: the collapsed path bands
+    only DISTINCT hashes yet emits exactly the brute-force pairs —
+    including all C(300,2) intra-cluster hamming-0 pairs."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import lazyosm_spark.operators.dedup as dd
+
+    rng = np.random.default_rng(3)
+    base_hash = 0x0123456789ABCD  # < 2^60
+    rows = [(i, base_hash) for i in range(300)]  # the mega-dup cluster
+    # 200 docs scattered: some within hamming 8 of the cluster, some far
+    for i in range(300, 500):
+        flips = rng.choice(60, size=int(rng.integers(1, 16)), replace=False)
+        h = base_hash
+        for f_ in flips:
+            h ^= 1 << int(f_)
+        rows.append((i, h))
+    sims = spark.createDataFrame(rows, "doc_id long, simhash long")
+    monkeypatch.setattr(dd, "simhash64", lambda d, i, t: sims)
+    docs = spark.createDataFrame([(i, "x") for i in range(500)], "doc_id long, text string")
+
+    got = {
+        tuple(r)
+        for r in dd.simhash_near_pairs(docs, collapse_identical=True).collect()
+    }
+    sa = sims.selectExpr("doc_id da", "simhash xa")
+    sb = sims.selectExpr("doc_id db", "simhash xb")
+    brute = {
+        (r["da"], r["db"], r["h"])
+        for r in sa.crossJoin(sb)
+        .filter(F.col("da") < F.col("db"))
+        .withColumn("h", F.bit_count(F.col("xa").bitwiseXOR(F.col("xb"))))
+        .filter(F.col("h") <= 8)
+        .collect()
+    }
+    assert got == brute
+    assert sum(1 for (_, _, h) in got if h == 0) >= 300 * 299 // 2
+
+
+def test_simhash_collapsed_cache_bound(spark):
+    """The collapsed path's result is backed by exactly two
+    checkpoints (members + rep pairs); nothing superseded remains."""
+    from lazyosm_spark.cache import n_persistent_rdds
+    from lazyosm_spark.operators.dedup import simhash_near_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = n_persistent_rdds(spark)
+    simhash_near_pairs(docs, collapse_identical=True).collect()
+    assert n_persistent_rdds(spark) - base <= 2
+
+
 def test_minhash_lsh_recall_vs_exact(spark):
     from lazyosm_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
