@@ -220,58 +220,47 @@ Method notes:
   default 16MB here; 128MB at 100 TB where files are many).
 """
         path = os.path.join(REPO, "BENCH", "BASELINE.md")
+        # splice boundaries are EXPLICIT marker comments, never heading
+        # substrings (round-4 ADVICE: a renamed heading or a matching
+        # substring inside another section silently truncated or
+        # duplicated manual evidence) — missing markers fail loudly
+        B4, E4 = "<!-- BEGIN auto:scaling-4x -->", "<!-- END auto:scaling-4x -->"
+        ANCHOR = "<!-- ANCHOR manual-sections -->"
         if "--section-4x" in sys.argv:
             # additive mode (round-3 verdict item 9): the 4x-input run
-            # lands as its OWN section right after the main scaling
-            # evidence, leaving the 360k table and every manual section
-            # untouched
+            # replaces exactly the marker-bounded block, leaving the
+            # 360k table and every manual section untouched
             title = f"## Scaling at 4x input ({n_images:,} images) — same gate, data outgrows page cache"
             sec = md.split("\n", 1)[1]  # drop the "# BENCH/BASELINE.md" title
             sec = sec.replace("## N -> 4N pairs", "### N -> 4N pairs")
-            block = title + "\n" + sec.rstrip() + "\n"
+            block = B4 + "\n" + title + "\n" + sec.rstrip() + "\n" + E4
             old = open(path).read()
-            start = old.find("## Scaling at 4x input")
-            if start >= 0:  # replace a previous 4x section
-                rest = old[start:]
-                nxt = rest.find("\n## ", 1)
-                end = start + (nxt + 1 if nxt >= 0 else len(rest))
+            if (B4 in old) != (E4 in old):
+                sys.exit(f"BASELINE.md has an unpaired 4x marker ({B4} / {E4}); fix the file before splicing")
+            if B4 in old:
+                start, end = old.index(B4), old.index(E4) + len(E4)
                 old = old[:start] + block + old[end:]
+            elif ANCHOR in old:
+                old = old.replace(ANCHOR, block + "\n\n" + ANCHOR, 1)
             else:
-                anchors = [
-                    old.find(m)
-                    for m in (
-                        "## Cross-session variance rule",
-                        "## Operator throughput",
-                        "## Skew evidence",
-                        "## Appendix",
-                    )
-                ]
-                anchors = [a for a in anchors if a >= 0]
-                idx = min(anchors) if anchors else len(old)
-                old = old[:idx].rstrip() + "\n\n\n" + block + "\n\n" + old[idx:]
+                sys.exit(f"BASELINE.md lacks both the 4x markers and {ANCHOR}; add the anchor where the 4x section should land")
             with open(path, "w") as f:
                 f.write(old)
             print(block)
             return
-        # full-rewrite mode: preserve every manually-maintained section
-        # (variance rule, operator throughput, 4x scaling, skew
-        # evidence, PBF appendix) — keep from the EARLIEST marker found
+        # full-rewrite mode: everything from the manual-sections anchor
+        # on (variance rule, 4x section, skew evidence, operator
+        # throughput, PBF appendix) is preserved verbatim; an existing
+        # file without the anchor fails loudly instead of being clobbered
         tail = ""
         if os.path.exists(path):
             old = open(path).read()
-            found = [
-                idx
-                for marker in (
-                    "## Cross-session variance rule",
-                    "## Operator throughput",
-                    "## Scaling at 4x input",
-                    "## Skew evidence",
-                    "## Appendix",
-                )
-                if (idx := old.find(marker)) >= 0
-            ]
-            if found:
-                tail = "\n\n" + old[min(found):].rstrip() + "\n"
+            idx = old.find(B4)  # the auto 4x block precedes the anchor
+            if idx < 0:
+                idx = old.find(ANCHOR)
+            if idx < 0:
+                sys.exit(f"BASELINE.md exists but lacks {ANCHOR}; add it (manual sections below it) before a full rewrite")
+            tail = "\n\n" + old[idx:].rstrip() + "\n"
         with open(path, "w") as f:
             f.write(md + tail)
         print(md)

@@ -43,6 +43,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _norm_key(df: DataFrame, col: str) -> tuple[F.Column, str]:
+    """Key column normalized to a canonical hash type.
+
+    xxhash64 is TYPE-SENSITIVE: an int and a bigint that compare equal
+    under the SQL join hash DIFFERENTLY, so building over one and
+    probing with the other silently drops true matches (round-4 ADVICE).
+    Integral keys hash as bigint, float as double; every other type
+    hashes as-is and must match the other side exactly."""
+    dt = dict(df.dtypes)[col]
+    if dt in _INTEGRAL_TYPES:
+        return F.col(col).cast("long"), "bigint"
+    if dt in ("float", "double"):
+        return F.col(col).cast("double"), "double"
+    return F.col(col), dt
+
+
+def stage_row_count(spark, root: str, stage: str) -> int:
+    """Exact row count of a checkpointed stage from its LINEAGE metadata
+    (plans/lineage.py) — no data scan, no count job over the table.
+    The intended ``n_keys=`` source for bloom_semi_join when the small
+    side is a pipeline stage: sizing then adds zero extra jobs."""
+    from lazyosm_spark.plans.catalog import table_stats
+
+    row = table_stats(spark, root, stage).agg(F.sum("row_count")).first()
+    return int(row[0] or 0)
+
+
 def _positions(h64: np.ndarray, m: int, k: int) -> np.ndarray:
     """(n,) uint64 hashes -> (k, n) uint64 bit positions via double
     hashing.  m is kept a Python int (fits uint64 math)."""
@@ -61,20 +91,41 @@ def build_bloom(
     bits_per_key: int = 10,
     n_hashes: int = 7,
     max_build_partitions: int = 64,
+    max_bitmap_bytes: int = 128 << 20,
 ) -> tuple[bytes, int, int]:
     """-> (bitmap bytes, m bits, k hashes) over the small side's keys.
 
     One mapInPandas pass builds a partial bitmap per partition; the
     driver ORs <= max_build_partitions partials.  Keys are hashed
-    JVM-side with xxhash64, so any key type works and the probe hashes
-    identically."""
+    JVM-side with xxhash64 after normalizing integral types to bigint
+    (see _norm_key), so the probe side hashes identically even when
+    the SQL-comparable key types differ in width.
+
+    ``n_keys``: pass it when known to avoid the sizing count job —
+    from ``stage_row_count`` (lineage metadata, zero extra jobs) for
+    checkpointed stages, or any caller-side estimate; an OVERestimate
+    only wastes bitmap bits, an underestimate only raises the FP rate
+    (output stays exact either way).  Bitmaps over
+    ``max_bitmap_bytes`` (default 128 MB ~ 10^8 keys) raise ValueError
+    up front instead of failing late in the driver OR-merge — beyond
+    that, bucket both tables or use Spark's runtime bloom filter."""
     if n_keys is None:
         n_keys = small.count()
     m = max(64, 1 << int(np.ceil(np.log2(max(n_keys, 1) * bits_per_key))))
+    if m // 8 > max_bitmap_bytes:
+        raise ValueError(
+            f"bloom bitmap would be {m // 8} bytes for n_keys={n_keys} "
+            f"(max_bitmap_bytes={max_bitmap_bytes}); the driver OR-merge "
+            "collects up to max_build_partitions copies — bucket both "
+            "tables or use Spark's runtime bloom filter instead"
+        )
     k = n_hashes
-    hashes = small.select(F.xxhash64(F.col(key_col)).alias("h"))
-    if hashes.rdd.getNumPartitions() > max_build_partitions:
-        hashes = hashes.coalesce(max_build_partitions)
+    key_expr, _ = _norm_key(small, key_col)
+    # coalesce never increases partition count, so this is a no-op on
+    # already-small builds and bounds driver traffic on wide ones —
+    # without touching .rdd for a partition-count probe
+    hashes = small.select(F.xxhash64(key_expr).alias("h"))
+    hashes = hashes.coalesce(max_build_partitions)
 
     def partial(batches):
         bitmap = np.zeros(m // 8, dtype=np.uint8)
@@ -104,14 +155,35 @@ def bloom_semi_join(
     n_keys: int | None = None,
     bits_per_key: int = 10,
     n_hashes: int = 7,
+    max_bitmap_bytes: int = 128 << 20,
 ) -> DataFrame:
     """EXACT ``big SEMI JOIN small`` whose shuffle carries only the
     bloom survivors (true matches + ~0.8% false positives) instead of
     the whole big side.  -> big's rows/columns, exactly the plain semi
-    join's output (oracle: the plain IN-subquery)."""
+    join's output (oracle: the plain IN-subquery).
+
+    Sizing without extra jobs: pass ``n_keys`` (e.g. from
+    ``stage_row_count`` — lineage metadata, no scan) to skip the
+    build-side count; the build also never touches ``.rdd``.  Key
+    columns whose normalized hash types differ (see _norm_key: integral
+    -> bigint, float -> double) raise ValueError — hashing them
+    independently would silently drop true matches."""
     skey = small_key_col or key_col
+    big_expr, big_t = _norm_key(big, key_col)
+    _, small_t = _norm_key(small, skey)
+    if big_t != small_t:
+        raise ValueError(
+            f"bloom_semi_join key types diverge after normalization: "
+            f"big.{key_col} hashes as {big_t}, small.{skey} as {small_t}; "
+            "cast one side so the bloom build and probe hash identically"
+        )
     bitmap_bytes, m, k = build_bloom(
-        small, skey, n_keys=n_keys, bits_per_key=bits_per_key, n_hashes=n_hashes
+        small,
+        skey,
+        n_keys=n_keys,
+        bits_per_key=bits_per_key,
+        n_hashes=n_hashes,
+        max_bitmap_bytes=max_bitmap_bytes,
     )
     sc = big.sparkSession.sparkContext
     bc = sc.broadcast(np.frombuffer(bitmap_bytes, dtype=np.uint8))
@@ -128,6 +200,6 @@ def bloom_semi_join(
             hit &= bit.astype(bool)
         return pd.Series(hit)
 
-    survivors = big.filter(might_contain(F.xxhash64(F.col(key_col))))
+    survivors = big.filter(might_contain(F.xxhash64(big_expr)))
     keys = small.select(F.col(skey).alias(key_col)).distinct()
     return survivors.join(keys, key_col, "left_semi")

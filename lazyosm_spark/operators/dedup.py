@@ -752,7 +752,9 @@ def _near_pairs_collapsed(
         .select(
             F.col("x.doc_id").alias("doc_id_a"),
             F.col("y.doc_id").alias("doc_id_b"),
-            F.bit_count(F.lit(0).cast("long")).alias("hamming"),
+            # intra-hash pairs are hamming 0 by construction; cast to
+            # int = bit_count's return type so the union lines up
+            F.lit(0).cast("int").alias("hamming"),
         )
     )
     return cross.unionByName(intra)

@@ -97,6 +97,15 @@ def grid_knn(
     (huge query panels) both sides shuffle on the cell key, the
     all-pairs-safe plan.
 
+    The ``n_queries`` hint is ADVISORY and trusted as given (validating
+    it would cost the very count job the hint exists to skip, and a
+    limit-probe re-executes the upstream plan under AQE): an
+    UNDERSTATED hint — e.g. a stale value reused across calls while the
+    panel grew — broadcasts an exploded frame of the panel's TRUE size
+    x ring_cells, a memory hazard well past ``broadcast_rows``.  Pass
+    the exact panel count or nothing; a missing hint only costs the
+    shuffle plan at level 0, never correctness.
+
     ``materialize=True`` (default) eagerly localCheckpoints the final
     union and unpersists every per-level cache, so a finished call
     leaves NO superseded persisted frame behind (pytest inspects

@@ -1248,19 +1248,27 @@ _REDUNDANT_TWINS = [
 
 
 def _infer_round() -> int:
-    """Round number inferred from the newest CORRECTNESS_r{N}.json the
-    driver left in the repo root (this round = newest + 1); 1 when none
-    exist (fresh checkout)."""
-    import glob
-    import re
+    """Rotation round number from EXPLICIT inputs only (round-4 ADVICE:
+    globbing untracked CORRECTNESS_r*.json artifacts made registry
+    order depend on leftover files and could flip parity between two
+    processes if a round file landed mid-run):
 
+    1. ``LAZYOSM_ROUND`` env var — a driver/CI override,
+    2. the TRACKED ``ROUND`` file at the repo root (committed and
+       bumped once per round as part of round work — deterministic on
+       fresh clones and worked trees alike),
+    3. fixed default 1 (odd ordering: every family's scale-shaped
+       variant lands inside the driver cap)."""
+    v = os.environ.get("LAZYOSM_ROUND", "").strip()
+    if v.isdigit():
+        return int(v)
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
-        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
-    ]
-    return (max(rounds) + 1) if rounds else 1
+    try:
+        with open(os.path.join(repo, "ROUND")) as f:
+            txt = f.read().strip()
+    except OSError:
+        return 1
+    return int(txt) if txt.isdigit() else 1
 
 
 # Pinned ONCE at import: queries() and oracle_sql() must agree on the

@@ -98,3 +98,88 @@ def test_bloom_prefilter_reduces_join_input(spark):
     assert n_true <= n_survivors  # superset (no false negatives)
     # and a REAL reduction vs shuffling the whole big side
     assert n_survivors < 0.6 * n_big, (n_survivors, n_big)
+
+
+def test_bloom_mixed_width_integral_keys_match(spark):
+    """Round-4 ADVICE: int-vs-bigint keys SQL-compare equal but xxhash64
+    differently — normalization must keep the build and probe aligned
+    (before the fix, every true match was silently dropped)."""
+    from lazyosm_spark.operators.bloom import bloom_semi_join
+
+    big = spark.range(1000).selectExpr("cast(id as int) as k", "id * 2 as v")
+    small = spark.range(0, 1000, 7).selectExpr("cast(id as bigint) as k")
+    got = sorted(r["k"] for r in bloom_semi_join(big, small, "k").collect())
+    want = sorted(range(0, 1000, 7))
+    assert got == want
+
+
+def test_bloom_incompatible_key_types_raise(spark):
+    from lazyosm_spark.operators.bloom import bloom_semi_join
+
+    big = spark.range(100).selectExpr("id as k")
+    small = spark.range(10).selectExpr("cast(id as string) as k")
+    try:
+        bloom_semi_join(big, small, "k")
+        raise AssertionError("expected ValueError for bigint-vs-string keys")
+    except ValueError as e:
+        assert "hash" in str(e)
+
+
+def test_bloom_bitmap_size_guard(spark):
+    from lazyosm_spark.operators.bloom import build_bloom
+
+    small = spark.range(10).selectExpr("id as k")
+    try:
+        build_bloom(small, "k", n_keys=10**9, max_bitmap_bytes=1 << 20)
+        raise AssertionError("expected ValueError for oversized bitmap")
+    except ValueError as e:
+        assert "max_bitmap_bytes" in str(e)
+
+
+def test_bloom_hinted_path_runs_no_sizing_jobs(spark, monkeypatch):
+    """With n_keys supplied, the operator must neither count() the
+    small side nor touch .rdd for a partition probe (round-4 verdict
+    item 5) — both are poisoned here and the join still runs."""
+    import pyspark.sql.dataframe as pdf
+
+    from lazyosm_spark.operators.bloom import bloom_semi_join
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    n_small = o.count()
+    want = li.join(
+        o.selectExpr("o_orderkey as l_orderkey").distinct(), "l_orderkey", "left_semi"
+    ).count()
+
+    def _poisoned_count(self):
+        raise AssertionError("bloom_semi_join ran a sizing count() despite n_keys")
+
+    monkeypatch.setattr(pdf.DataFrame, "count", _poisoned_count)
+    monkeypatch.setattr(
+        pdf.DataFrame,
+        "rdd",
+        property(
+            lambda self: (_ for _ in ()).throw(
+                AssertionError("bloom_semi_join touched .rdd")
+            )
+        ),
+    )
+    got = bloom_semi_join(
+        li, o, key_col="l_orderkey", small_key_col="o_orderkey", n_keys=n_small
+    )
+    monkeypatch.undo()
+    assert got.count() == want
+
+
+def test_stage_row_count_from_lineage(spark, tmp_path):
+    """stage_row_count derives the exact count from lineage metadata —
+    the zero-extra-job n_keys source for checkpointed stages."""
+    from lazyosm_spark.operators.bloom import stage_row_count
+    from lazyosm_spark.plans.lineage import CheckpointedPipeline
+
+    pipe = CheckpointedPipeline(spark, str(tmp_path), n_buckets=8)
+    df = spark.range(1234).selectExpr("id as k", "id % 7 as v")
+    pipe.run_stage("s1", df, "k")
+    assert stage_row_count(spark, str(tmp_path), "s1") == 1234

@@ -179,6 +179,67 @@ def main() -> None:
     ]
     sections.append(("pack_sequences (distributed prefix sum)", p, checks))
 
+    # 10. bloom semi join: the Arrow probe Filter must sit BEFORE the
+    # first Exchange on the big side — that pre-shuffle placement IS
+    # the operator (the shuffle carries only survivors).  Broadcast is
+    # disabled so the exact semi join plans an Exchange to sit above
+    # the probe; the structural check walks the formatted plan tree.
+    from lazyosm_spark.operators.bloom import bloom_semi_join
+
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    small_keys = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    q10 = bloom_semi_join(li, small_keys, "l_orderkey", n_keys=10000)
+    p = plan_of(q10)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    import re as _re
+
+    def _tree(plan: str) -> list[str]:
+        out = []
+        for line in plan.splitlines():
+            if _re.match(r"^\(\d+\)", line.strip()):
+                break
+            if line.strip():
+                out.append(line)
+        return out
+
+    def _depth(line: str) -> int:
+        return len(_re.match(r"^[\s:+\-|]*", line).group(0))
+
+    def _probe_pre_exchange(plan: str) -> tuple[bool, bool]:
+        """(an Exchange is an ANCESTOR of the probe,
+        no Exchange is a DESCENDANT of the probe)."""
+        tree = _tree(plan)
+        idx = next((i for i, l in enumerate(tree) if "ArrowEvalPython" in l), None)
+        if idx is None:
+            return False, False
+        d = _depth(tree[idx])
+        anc_exchange = False
+        cur = d
+        for j in range(idx - 1, -1, -1):
+            dj = _depth(tree[j])
+            if dj < cur:
+                cur = dj
+                if "Exchange" in tree[j]:
+                    anc_exchange = True
+        no_desc_exchange = True
+        for j in range(idx + 1, len(tree)):
+            if _depth(tree[j]) <= d:
+                break
+            if "Exchange" in tree[j]:
+                no_desc_exchange = False
+        return anc_exchange, no_desc_exchange
+
+    anc, no_desc = _probe_pre_exchange(p)
+    checks = [
+        ("probe is a vectorized Arrow stage", "ArrowEvalPython" in p),
+        ("an Exchange sits ABOVE the probe (filter runs pre-shuffle)", anc),
+        ("no Exchange BELOW the probe (probe applies at the scan side)", no_desc),
+    ]
+    sections.append(("bloom_semi_join (Arrow probe before the first Exchange)", p, checks))
+
     ok = True
     lines = ["# Physical-plan audit (generated by tools/explain_plans.py)\n"]
     for name, plan, checks in sections:
