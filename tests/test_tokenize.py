@@ -1,0 +1,115 @@
+"""BPE tokenizer: engine == independent scalar oracle token-by-token,
+exact detokenize round trip, unknown handling, committed-spec
+reproducibility, and the raw-text -> ids -> pack_sequences composition."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+SPEC_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "lazyosm_spark",
+    "resources",
+    "bpe_merges.json",
+)
+
+
+def _spec():
+    from tests.oracle import bpe_ref
+
+    return bpe_ref.load_spec(SPEC_PATH)
+
+
+def test_tokenize_matches_scalar_oracle(spark):
+    """Every doc's FULL id sequence equals the independent scalar BPE
+    (classic sequential-replacement vs the engine's lowest-rank-pair
+    contraction — equivalent formulations, different code)."""
+    from tests.oracle import bpe_ref
+
+    from lazyosm_spark.operators.tokenize import tokenize
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {r["doc_id"]: list(r["token_ids"]) for r in tokenize(docs).collect()}
+    spec = _spec()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    assert len(got) == len(texts) > 0
+    for doc_id, text in texts.items():
+        assert got[doc_id] == bpe_ref.encode(text, spec), doc_id
+
+
+def test_detokenize_round_trip(spark):
+    """detokenize(tokenize(text)) == normalized text, byte-identical,
+    for the whole fixture corpus (printable-ASCII alphabet)."""
+    from lazyosm_spark.operators.dedup import normalize_text
+    from lazyosm_spark.operators.tokenize import detokenize, tokenize
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rt = detokenize(tokenize(docs)).select("doc_id", "text")
+    want = docs.select("doc_id", normalize_text("text").alias("text"))
+    diff = rt.exceptAll(want).count() + want.exceptAll(rt).count()
+    assert diff == 0
+
+
+def test_unseen_ascii_word_falls_back_to_chars(spark):
+    """A word absent from training still tokenizes losslessly via the
+    printable-ASCII base alphabet (and round-trips)."""
+    from lazyosm_spark.operators.tokenize import UNK_ID, detokenize, tokenize
+
+    docs = spark.createDataFrame([(1, "zebra Quokka!  42")], "doc_id long, text string")
+    t = tokenize(docs)
+    row = detokenize(t).select("text", "token_ids").first()
+    assert row["text"] == "zebra quokka! 42"
+    assert UNK_ID not in list(row["token_ids"])
+
+
+def test_non_ascii_char_maps_to_unk(spark):
+    from lazyosm_spark.operators.tokenize import UNK_ID, detokenize, tokenize
+
+    docs = spark.createDataFrame([(1, "café")], "doc_id long, text string")
+    t = tokenize(docs)
+    row = detokenize(t).select("text", "token_ids").first()
+    assert UNK_ID in list(row["token_ids"])
+    assert "<unk>" in row["text"]
+
+
+def test_committed_spec_reproducible():
+    """Re-training on the fixture corpus reproduces the committed
+    merges table exactly (trainer determinism = the spec is an
+    artifact of the corpus, not of a run)."""
+    import pandas as pd
+
+    from tools.train_bpe import BASE, END_WORD, train, word_freqs
+
+    texts = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])["text"]
+    merges = train(word_freqs(texts), 512)
+    spec = json.load(open(SPEC_PATH))
+    assert [list(m) for m in merges] == spec["merges"]
+    assert spec["tokens"] == ["<unk>"] + BASE + [END_WORD] + [a + b for a, b in merges]
+
+
+def test_tokenize_pack_composition(spark):
+    """Raw text -> token ids -> packed sequences end-to-end: packing
+    conserves the token stream (chunk count, offsets in range)."""
+    from lazyosm_spark.operators.packing import pack_sequences
+    from lazyosm_spark.operators.tokenize import tokenize
+
+    ctx = 64
+    toks = tokenize(spark.read.parquet(f"{SF}/documents.parquet")).select(
+        "doc_id", "n_tokens"
+    )
+    total = toks.agg(F.sum("n_tokens")).first()[0]
+    packed = pack_sequences(toks, ctx_len=ctx)
+    assert packed.count() == toks.count()
+    stats = packed.agg(
+        # seq_id holds the doc's FIRST token; the stream's last chunk is
+        # the furthest any doc SPANS, not the max first-token seq
+        F.max(F.col("seq_id") + F.col("n_seqs_spanned") - 1).alias("last_seq"),
+        F.max("offset").alias("max_off"),
+        F.min("offset").alias("min_off"),
+    ).first()
+    assert stats["last_seq"] == (total - 1) // ctx
+    assert 0 <= stats["min_off"] and stats["max_off"] < ctx

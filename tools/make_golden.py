@@ -205,6 +205,31 @@ def golden_doc_tile_membership(documents_parquet: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def golden_bpe_tokens(documents_parquet: str) -> pd.DataFrame:
+    """Token ids over the driver testdata's documents table from the
+    INDEPENDENT scalar BPE (tests/oracle/bpe_ref — the classic
+    sequential-replacement formulation, no engine imports) reading the
+    committed merges table — the engine tokenizer's driver oracle."""
+    from tests.oracle import bpe_ref
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = bpe_ref.load_spec(
+        os.path.join(repo, "lazyosm_spark", "resources", "bpe_merges.json")
+    )
+    docs = pd.read_parquet(documents_parquet, columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        ids = bpe_ref.encode(text, spec)
+        rows.append(
+            dict(
+                doc_id=np.int64(doc_id),
+                n_tokens=np.int64(len(ids)),
+                ids_csv=",".join(map(str, ids)),
+            )
+        )
+    return pd.DataFrame(rows)
+
+
 def golden_tile_membership(scale: str) -> pd.DataFrame:
     n = SCALES[scale]["n_images"]
     lon, lat = image_lonlat(np.arange(n))
@@ -320,6 +345,9 @@ def make_driver_artifacts(
     golden_polyfill().to_parquet(os.path.join(out, "polyfill_tiles.parquet"))
     golden_doc_tile_membership(os.path.join(sf_dir, "documents.parquet")).to_parquet(
         os.path.join(out, "doc_tile_membership_sf001.parquet")
+    )
+    golden_bpe_tokens(os.path.join(sf_dir, "documents.parquet")).to_parquet(
+        os.path.join(out, "bpe_tokens_sf001.parquet")
     )
     return out
 
