@@ -150,15 +150,15 @@ def main() -> None:
         N_SIMHASH_DOCS,
         {
             "max_hamming": 8,
-            "n_blocks": 9,
+            "band_combo": 2,
+            "n_blocks": 10,
             "bucket_threshold": f"auto -> {auto_thresh}",
             "max_split_depth": 4,
         },
-        # one rep: exact r=8 near-dup detection over 10^6 quasi-random
-        # hashes is intrinsically ~10^10 band-bucket comparisons (keys
-        # are only ~6.7 bits/band on a 60-bit hash) — the single wall
-        # is the honest cost of the exact path at this scale
-        reps=int(os.environ.get("OPS_SIMHASH_REPS", "1")),
+        # two walls per the within-session variance rule (round-4
+        # verdict item 3); affordable since round 5's numpy bucket
+        # verify + combination banding removed the join-emit wall
+        reps=int(os.environ.get("OPS_SIMHASH_REPS", "2")),
     )
 
     # ------------------------------------------------------------------
@@ -212,7 +212,7 @@ def main() -> None:
         with open(sidecar, "w") as f:
             json.dump(merged, f, indent=2)
         results = merged
-        md = ["## Operator throughput at realistic volume (round 4)\n"]
+        md = ["## Operator throughput at realistic volume (rounds 4-5)\n"]
         md.append(
             "Round-3 operators measured at 10^6-10^7 rows on local[32]\n"
             "(`BENCH/run_ops_scale.py`, exclusive idle-box run; both walls\n"
@@ -231,17 +231,19 @@ def main() -> None:
         md.append(
             """
 Context:
-- `simhash_near_pairs_default` runs ONE rep by design: EXACT r=8
-  near-dup detection over 10^6 quasi-random 60-bit hashes is
-  intrinsically ~10^10 band-bucket comparisons (band keys are only
-  ~6.7 bits wide), so the multi-minute wall is the honest cost of the
-  exact path, not a plan defect.  The auto threshold (1024, an
-  absolute constant — see `_auto_bucket_threshold` for why a
-  mean-relative threshold would be quadratic) keeps every bucket's
-  self-join bounded to ~5*10^5 pairs inside one task: work scales
-  ~n * t * (r+1)^levels, evenly partitioned, no straggler bucket.
-  Corpora wanting faster dedup use max_hamming <= 4 (wider band keys
-  -> ~100x fewer collisions) or the minhash-LSH pipeline.
+- `simhash_near_pairs_default` is EXACT r=8 near-dup detection over
+  10^6 quasi-random 60-bit hashes — intrinsically ~10^9-10^10
+  band-bucket collisions.  Round 5 rebuilt the collision engine:
+  combination banding (c=2 over 10 blocks -> ~12-bit keys, recall 1
+  by the extended pigeonhole, ~6x fewer collisions than the old
+  ~6.7-bit single-block bands) + a vectorized numpy bucket verify
+  (equal-size buckets stacked into matrices, xor + LUT popcount —
+  ~10^3x the per-collision rate of the former band self-JOIN emit,
+  which measured ~6.6M rows/s and owned the old 461 s wall).  The
+  auto threshold (1024, an absolute constant — see
+  `_auto_bucket_threshold`) still bounds any hot bucket via the
+  recursive split; with 12-bit default keys a uniform corpus never
+  goes hot, so the default call runs zero band checkpoints.
 - `phash_hamming_knn`'s corpus is near-dup clusters of 10 (<= 4-bit
   intra-cluster distance): virtually every query retires at radius 6,
   the realistic shape; a uniformly random corpus would push rank-5
@@ -254,23 +256,18 @@ Context:
   survivors before the only shuffle — the wall is scan + Arrow probe
   bound."""
         )
-        block = "\n".join(md) + "\n"
+        B, E = "<!-- BEGIN auto:ops-scale -->", "<!-- END auto:ops-scale -->"
+        block = B + "\n" + "\n".join(md).rstrip() + "\n" + E
         path = os.path.join(REPO, "BENCH", "BASELINE.md")
         old = open(path).read()
-        marker = "## Operator throughput at realistic volume (round 4)"
-        if marker in old:
-            # replace the existing section (up to the next ## or EOF)
-            start = old.index(marker)
-            rest = old[start + len(marker):]
-            nxt = rest.find("\n## ")
-            end = start + len(marker) + (nxt if nxt >= 0 else len(rest))
-            old = old[:start] + block + old[end:].lstrip("\n")
-        else:
-            anchor = "## Appendix"
-            idx = old.find(anchor)
-            old = (
-                old[:idx] + block + "\n" + old[idx:] if idx >= 0 else old + "\n" + block
-            )
+        # explicit marker-bounded splice (round-4 ADVICE class): never
+        # search heading substrings; missing/unpaired markers fail loudly
+        if (B in old) != (E in old):
+            sys.exit(f"BASELINE.md has an unpaired ops-scale marker ({B} / {E})")
+        if B not in old:
+            sys.exit(f"BASELINE.md lacks {B}; add the marker pair where the section belongs")
+        start, end = old.index(B), old.index(E) + len(E)
+        old = old[:start] + block + old[end:]
         with open(path, "w") as f:
             f.write(old)
         print("# BENCH/BASELINE.md updated", file=sys.stderr)

@@ -36,6 +36,16 @@ def free_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def is_local_checkpoint(df: DataFrame) -> bool:
+    """True when the frame's analyzed plan IS a bare localCheckpoint
+    scan (LogicalRDD) — the shape free_local_checkpoint can release."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        return bool(plan.getClass().getName().endswith("LogicalRDD"))
+    except Exception:
+        return False
+
+
 def n_persistent_rdds(spark) -> int:
     """Number of RDDs currently holding block-manager storage — the
     probe the persist-leak tests assert on."""

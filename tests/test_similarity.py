@@ -255,8 +255,12 @@ def test_simhash_default_call_splits_hot_bucket(spark, monkeypatch):
     derives a concrete threshold from the corpus count and recursively
     splits a deliberately hot level-0 bucket — the default call IS the
     at-scale plan (round-3 verdict item 1).  Hashes are injected via
-    simhash64 so the hot bucket (400 docs sharing block 0's low 7 bits,
-    everything else random) is deterministic."""
+    simhash64 so the hot bucket is deterministic: with the default
+    combination banding (c=2 over b=10 six-bit blocks), all docs share
+    the LOW 12 BITS (blocks 0+1), so the (0,1) pair band holds every
+    doc in one bucket while every other band stays cold."""
+    import math
+
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -265,7 +269,7 @@ def test_simhash_default_call_splits_hot_bucket(spark, monkeypatch):
     rng = np.random.default_rng(7)
     n, r = 1500, 8  # hot bucket must exceed the 1024 auto threshold
     hashes = (
-        (rng.integers(0, 1 << 53, size=n, dtype=np.int64) << 7) | 0x2A
+        (rng.integers(0, 1 << 48, size=n, dtype=np.int64) << 12) | 0xABC
     ).tolist()
     sims = spark.createDataFrame(
         list(enumerate(hashes)), "doc_id long, simhash long"
@@ -275,10 +279,11 @@ def test_simhash_default_call_splits_hot_bucket(spark, monkeypatch):
     captured = {}
     real_split = dd._split_bands
 
-    def spy(s, mh, nb, thresh, depth):
+    def spy(s, mh, nb, thresh, depth, combo=1):
         captured["threshold"] = thresh
-        out = real_split(s, mh, nb, thresh, depth).persist()
+        out = real_split(s, mh, nb, thresh, depth, combo).persist()
         captured["bands"] = out
+        captured["n_level0"] = math.comb(mh + combo, combo) if combo > 1 else nb
         return out
 
     monkeypatch.setattr(dd, "_split_bands", spy)
@@ -292,10 +297,11 @@ def test_simhash_default_call_splits_hot_bucket(spark, monkeypatch):
     # a concrete int threshold was derived (not None, not the sentinel)
     thresh = dd._auto_bucket_threshold(n, r + 1)
     assert captured["threshold"] == thresh == 1024
-    # the hot block-0 bucket was actually split (child specs exist) and
-    # no mixed-hash bucket is left above the derived threshold
+    # the hot (block0, block1) bucket was actually split (child specs
+    # exist past the level-0 combination bands) and no mixed-hash
+    # bucket is left above the derived threshold
     bands = captured["bands"]
-    assert bands.filter(F.col("spec") >= r + 1).count() > 0
+    assert bands.filter(F.col("spec") >= captured["n_level0"]).count() > 0
     over = (
         bands.groupBy("spec", "key")
         .agg(F.count("*").alias("n"), F.countDistinct("simhash").alias("d"))
@@ -431,3 +437,29 @@ def test_minhash_lsh_recall_vs_exact(spark):
     assert lsh <= exact
     if exact:
         assert len(lsh) / len(exact) >= 0.8, (len(lsh), len(exact))
+
+
+def test_simhash_band_combo_bit_identical(spark):
+    """Combination banding (band_combo=2 default, 3 pinned) emits the
+    BIT-IDENTICAL pair set as single-block banding (band_combo=1) —
+    recall 1 by the extended pigeonhole, cost is the only difference
+    (round-4 verdict item 2's equality gate)."""
+    from lazyosm_spark.operators.dedup import simhash_near_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    c1 = {
+        tuple(r)
+        for r in simhash_near_pairs(docs, max_hamming=8, band_combo=1).collect()
+    }
+    c2 = {tuple(r) for r in simhash_near_pairs(docs, max_hamming=8).collect()}
+    c3 = {
+        tuple(r)
+        for r in simhash_near_pairs(docs, max_hamming=8, band_combo=3).collect()
+    }
+    assert c1 == c2 == c3 and len(c1) > 0
+    # ambiguous combination: explicit n_blocks + combo > 1 is rejected
+    try:
+        simhash_near_pairs(docs, n_blocks=9, band_combo=2)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
