@@ -173,6 +173,48 @@ def main() -> None:
     n_queries_knn = part_bench.count()
     timed("grid_knn", knn_run)
 
+    # q5b (extras only, headline total stays round-comparable): the
+    # repeat-call fast path — points prepared ONCE (pre-encoded,
+    # co-located, persisted), then the same panel served against the
+    # cache.  This is the serving shape: one layout pass, many panels.
+    from lazyosm_spark.operators.knn import pick_res, prepare_points
+
+    res_knn = pick_res(n_points, 5)
+    prep = prepare_points(pts, res_knn)
+    prep.count()  # materialize the layout outside the timed region
+
+    def knn_repeat():
+        part = spark.read.parquet(os.path.join(SF_DIR, "part.parquet"))
+        i = F.col("p_partkey").cast("double")
+        phi, phi2 = 0.7548776662466927, 0.5698402909980532
+        q = part.select(
+            F.col("p_partkey").alias("query_id"),
+            (F.lit(-180.0) + 360.0 * (i * phi - F.floor(i * phi))).alias("lon"),
+            (F.lit(-85.0) + 170.0 * (i * phi2 - F.floor(i * phi2))).alias("lat"),
+        )
+        return grid_knn(
+            q,
+            pts,
+            k=5,
+            n_queries=n_queries_knn,
+            points_prepared=prep,
+            prepared_res=res_knn,
+        ).count()
+
+    rpt_walls = []
+    for _ in range(3):
+        t0 = time.time()
+        knn_repeat()
+        rpt_walls.append(round(time.time() - t0, 2))
+    prep.unpersist()
+    extras["grid_knn_repeat_walls"] = rpt_walls
+    extras["grid_knn_repeat"] = round(statistics.median(rpt_walls), 3)
+    print(
+        f"# grid_knn_repeat: median {extras['grid_knn_repeat']}s of {rpt_walls}",
+        file=sys.stderr,
+        flush=True,
+    )
+
     # q6: minhash LSH dedup pipeline over documents
     timed(
         "minhash_lsh",

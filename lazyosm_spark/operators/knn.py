@@ -52,6 +52,49 @@ def _topk(cand: DataFrame, k: int) -> DataFrame:
     )
 
 
+def pick_res(
+    n_points: int, k: int, start_ring: int = 1, target_candidates: int | None = None
+) -> int:
+    """Density-derived start resolution: expected ring candidates per
+    query ~= target_candidates (default max(32, 4k)).  The per-query
+    window top-k is candidate-linear, so this is the dominant-cost
+    tuning knob; grid_knn's result is res-INVARIANT (exactness comes
+    from the distance bound + escalation)."""
+    import math
+
+    tc = target_candidates or max(32, 4 * k)
+    ring_cells = (2 * start_ring + 1) ** 2
+    # pts/cell = n / 4^res; solve ring_cells * pts/cell ~= tc
+    return max(0, min(12, int(math.log2(max(n_points * ring_cells / tc, 1.0)) // 2)))
+
+
+def prepare_points(
+    points: DataFrame, res: int, n_partitions: int | None = None
+) -> DataFrame:
+    """Repeat-call fast path (round-4 verdict item 4): encode the
+    points table ONCE at ``res``, range-partition on the cell id
+    (spatial co-location — the repartition_by_cell layout), and persist.
+    Pass the result to any number of grid_knn calls via
+    ``points_prepared=`` + ``prepared_res=``: each call then reads the
+    cached, pre-encoded, co-located frame instead of re-scanning +
+    re-encoding + re-shuffling the points table — per-call point-side
+    work drops to a cache scan.  At cluster scale the same layout is a
+    bucketed/partitioned TABLE (write once, serve every panel).
+
+    The CALLER owns the cache lifetime (``.unpersist()`` when done) —
+    an operator-internal cache would leak past the call (cache.py
+    discipline).  -> (neighbor_id, plon, plat, pcell) persisted."""
+    from lazyosm_spark.operators.spatial_join import repartition_by_cell
+
+    p = points.select(
+        F.col("point_id").alias("neighbor_id"),
+        F.col("lon").alias("plon"),
+        F.col("lat").alias("plat"),
+    ).withColumn("pcell", cell_encode("plon", "plat", res))
+    n = n_partitions or points.sparkSession.sparkContext.defaultParallelism
+    return repartition_by_cell(p, "pcell", n).persist()
+
+
 def grid_knn(
     queries: DataFrame,
     points: DataFrame,
@@ -64,6 +107,8 @@ def grid_knn(
     n_queries: int | None = None,
     broadcast_rows: int = 4_000_000,
     materialize: bool = True,
+    points_prepared: DataFrame | None = None,
+    prepared_res: int | None = None,
 ) -> DataFrame:
     """queries(query_id, lon, lat) × points(point_id, lon, lat) ->
     exact (query_id, neighbor_id, rank, dist).
@@ -112,15 +157,27 @@ def grid_knn(
     getPersistentRDDs); pass False to get the lazy ladder plan (for
     plan audits / further composition) — then the per-level caches stay
     alive as long as the returned plan does.
-    """
-    if res is None:
-        import math
 
-        n = points.count() if n_points is None else n_points
-        tc = target_candidates or max(32, 4 * k)
-        ring_cells = (2 * start_ring + 1) ** 2
-        # pts/cell = n / 4^res; solve ring_cells * pts/cell ~= tc
-        res = max(0, min(12, int(math.log2(max(n * ring_cells / tc, 1.0)) // 2)))
+    ``points_prepared``/``prepared_res`` is the REPEAT-CALL fast path:
+    a ``prepare_points(points, res)`` frame (pre-encoded, co-located,
+    persisted).  Levels at ``prepared_res`` join it directly — no
+    point-side scan, encode, or exchange; other levels re-derive the
+    coarser cell from its cached lon/lat (identical expression, so the
+    result is provably unchanged).  With ``res=None`` the prepared
+    resolution is adopted and the density count job is skipped too.
+    """
+    if points_prepared is not None:
+        if prepared_res is None:
+            raise ValueError("points_prepared requires prepared_res")
+        missing = {"neighbor_id", "plon", "plat", "pcell"} - set(points_prepared.columns)
+        if missing:
+            raise ValueError(f"points_prepared lacks columns {sorted(missing)}")
+    if res is None:
+        if prepared_res is not None:
+            res = prepared_res
+        else:
+            n = points.count() if n_points is None else n_points
+            res = pick_res(n, k, start_ring, target_candidates)
     # ids keep their INPUT type: numeric ids sort/shuffle cheaper than
     # their string casts in the top-k window; callers needing string
     # tie-break semantics (e.g. the DuckDB-oracle twins) pre-cast.
@@ -171,9 +228,20 @@ def grid_knn(
         )
         if n_pending is not None and n_pending * ring_cells <= broadcast_rows:
             exploded = F.broadcast(exploded)
+        if points_prepared is not None and res_l == prepared_res:
+            pl = points_prepared  # cached, pre-encoded, co-located
+        elif points_prepared is not None:
+            # coarser level off the CACHED frame: same encode
+            # expression as the cold path -> identical result, but the
+            # scan serves from memory, never the source table
+            pl = points_prepared.select("neighbor_id", "plon", "plat").withColumn(
+                "pcell", cell_encode("plon", "plat", res_l)
+            )
+        else:
+            pl = p.withColumn("pcell", cell_encode("plon", "plat", res_l))
         cand = (
             exploded
-            .join(p.withColumn("pcell", cell_encode("plon", "plat", res_l)), "pcell")
+            .join(pl, "pcell")
             .select(
                 "query_id",
                 "neighbor_id",

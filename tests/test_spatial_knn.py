@@ -373,3 +373,60 @@ def test_cell_bounds_roundtrip(spark):
          & (F.col("lat") >= lo_lat) & (F.col("lat") < hi_lat)).alias("ok")
     ).filter(~F.col("ok"))
     assert bad.count() == 0
+
+
+def test_grid_knn_prepared_points_identical(spark):
+    """The prepare_points repeat-call fast path returns exactly the
+    cold path's result — at the prepared resolution, at a different
+    explicit resolution (coarser re-derive off the cache), and under
+    escalation — and validates its inputs."""
+    from lazyosm_spark.operators.knn import grid_knn, pick_res, prepare_points
+
+    pts = _points(400)
+    pdf = spark.createDataFrame(pts, "point_id string, lon double, lat double")
+    q = spark.createDataFrame(
+        [(pid, lon, lat) for pid, lon, lat in pts[:25]],
+        "query_id string, lon double, lat double",
+    )
+    res = pick_res(400, 5)
+    prep = prepare_points(pdf, res)
+    try:
+        cold = sorted(map(tuple, grid_knn(q, pdf, k=5).collect()))
+        fast = sorted(
+            map(
+                tuple,
+                grid_knn(
+                    q, pdf, k=5, points_prepared=prep, prepared_res=res
+                ).collect(),
+            )
+        )
+        assert fast == cold and len(fast) > 0
+        # explicit res != prepared_res: coarser cells re-derived from
+        # the cached lon/lat — still identical
+        other = sorted(
+            map(
+                tuple,
+                grid_knn(
+                    q,
+                    pdf,
+                    k=5,
+                    res=max(res - 1, 0),
+                    points_prepared=prep,
+                    prepared_res=res,
+                ).collect(),
+            )
+        )
+        base = sorted(map(tuple, grid_knn(q, pdf, k=5, res=max(res - 1, 0)).collect()))
+        assert other == base
+    finally:
+        prep.unpersist()
+    try:
+        grid_knn(q, pdf, k=5, points_prepared=prep)
+        raise AssertionError("expected ValueError without prepared_res")
+    except ValueError:
+        pass
+    try:
+        grid_knn(q, pdf, k=5, points_prepared=pdf, prepared_res=res)
+        raise AssertionError("expected ValueError for missing columns")
+    except ValueError:
+        pass
