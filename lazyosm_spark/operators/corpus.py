@@ -33,13 +33,16 @@ def filter_corpus(
     min_quality: float = 0.25,
     langs: Sequence[str] = ("en",),
     near_dup_threshold: float | None = None,
+    max_pii: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """-> (doc_id, lang_pred, quality) of the documents that survive
     every filter.  ``near_dup_threshold`` (optional, e.g. 0.5) also
     drops non-representative members of minhash-LSH near-dup CLUSTERS
-    (transitive, via connected components)."""
+    (transitive, via connected components).  ``max_pii`` (optional)
+    drops documents whose pii_scrub hit count exceeds it — the
+    redaction-sweep leg, one more map-side expression chain."""
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     q = _text.quality_score(d).select("doc_id", "quality")
     lang = _text.langid(d).select("doc_id", "lang_pred")
@@ -55,6 +58,13 @@ def filter_corpus(
             & F.col("lang_pred").isin(*langs)
         )
     )
+    if max_pii is not None:
+        pii = _text.pii_scrub(d).select("doc_id", "n_pii")
+        out = out.join(
+            pii.filter(F.col("n_pii") <= max_pii).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
     if near_dup_threshold is not None:
         from lazyosm_spark.operators.graph import dedup_representatives
 

@@ -249,3 +249,68 @@ def winnow_fingerprints_expr(
             ",", F.transform(F.array_sort(fps), lambda x: x.cast("string"))
         ).alias("fp_seq"),
     )
+
+
+# PII patterns, applied IN ORDER (earlier redactions keep later counts
+# from double-counting: replacement tokens contain no digits or @).
+# Portable regex subset — character classes, bounded quantifiers,
+# non-capturing groups only — so Java (Spark) and RE2 (DuckDB) agree
+# match-for-match; both engines use leftmost-first greedy semantics.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<ID>"),
+    ("ipv4", r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_scrub(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """PII redaction sweep (corpus-curation staple): sequential
+    vectorized ``regexp_replace`` chain with a per-pattern hit count
+    taken on the text AS EACH PATTERN SEES IT (post earlier
+    redactions), all pure JVM expressions — no UDF, no shuffle,
+    embarrassingly parallel at any scale.
+
+    -> (id_col, clean_text, n_<pattern>..., n_pii).  The DuckDB twin
+    is generated from the SAME pattern table (pii_scrub_sql), so the
+    engines can never drift."""
+    counts = []
+    cur = F.col(text_col)
+    for name, pat, token in patterns:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, token)
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return docs.select(
+        F.col(id_col),
+        cur.alias("clean_text"),
+        *counts,
+        total.cast("long").alias("n_pii"),
+    )
+
+
+def pii_scrub_sql(
+    text_sql: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> tuple[str, list[str]]:
+    """DuckDB twin generator -> (clean_text_expr, [count_exprs...]),
+    built from the same PII_PATTERNS table as the engine."""
+    counts = []
+    cur = text_sql
+    for name, pat, token in patterns:
+        p = pat.replace("'", "''")
+        counts.append(
+            f"CAST(len(regexp_extract_all({cur}, '{p}')) AS BIGINT) AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{p}', '{token}', 'g')"
+    return cur, counts

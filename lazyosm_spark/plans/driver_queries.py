@@ -1111,6 +1111,122 @@ def q_corpus_filter(spark, sf_dir):
     return out.select("doc_id", "lang_pred", "quality")
 
 
+# Deterministic PII injection (the synthetic corpus itself is
+# digit-free): every doc gains one email + one IPv4, docs % 3 an
+# SSN-style id, docs % 5 a phone — identical expressions both engines.
+_PII_INJECT_SQL = (
+    "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.org ip 10.' || "
+    "CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) || "
+    "CASE WHEN doc_id % 3 = 0 THEN printf(' ssn %03d-%02d-%04d', "
+    "100 + doc_id % 900, 10 + doc_id % 89, 1000 + doc_id % 9000) ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 867-5309' ELSE '' END"
+)
+
+
+def _pii_injected(docs):
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            d.cast("string"),
+            F.lit("@mail.example.org ip 10."),
+            (d % 200).cast("string"),
+            F.lit(".0."),
+            (d % 250).cast("string"),
+            F.when(
+                d % 3 == 0,
+                F.format_string(
+                    " ssn %03d-%02d-%04d",
+                    (d % 900 + 100).cast("int"),
+                    (d % 89 + 10).cast("int"),
+                    (d % 9000 + 1000).cast("int"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit(" call +1 (555) 867-5309")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from lazyosm_spark.operators.text import pii_scrub_sql
+
+    clean, counts = pii_scrub_sql("text")
+    total = " + ".join(f"n_{name}" for name, _, _ in _pii_patterns())
+    return f"""
+WITH inj AS (SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents),
+c AS (SELECT doc_id, {clean} AS clean_text, {', '.join(counts)} FROM inj)
+SELECT doc_id, clean_text, n_email, n_ssn, n_ipv4, n_phone,
+       CAST({total} AS BIGINT) AS n_pii
+FROM c
+"""
+
+
+def _pii_patterns():
+    from lazyosm_spark.operators.text import PII_PATTERNS
+
+    return PII_PATTERNS
+
+
+@_register("pii_scrub", _pii_scrub_sql())
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction sweep (round-4 verdict item 6): vectorized JVM
+    regexp chain, per-pattern hit counts on progressively redacted
+    text; the DuckDB twin is GENERATED from the same pattern table so
+    the regexes can never drift.  Both engines run the identical
+    deterministic injection over the digit-free corpus."""
+    from lazyosm_spark.operators.text import pii_scrub
+
+    return pii_scrub(_pii_injected(_t(spark, sf_dir, "documents")))
+
+
+def _corpus_pii_sql(min_quality: float = 0.25, lang: str = "en", max_pii: int = 3) -> str:
+    from lazyosm_spark.operators.text import pii_scrub_sql
+
+    _, counts = pii_scrub_sql("text")
+    total = " + ".join(f"n_{name}" for name, _, _ in _pii_patterns())
+    # the per-leg oracles are written over `documents`; point them at
+    # the injected CTE by renaming the one FROM each contains
+    q_leg = ORACLES["quality_score"].replace("FROM documents", "FROM dpii")
+    l_leg = ORACLES["langid"].replace("FROM documents", "FROM dpii")
+    r_leg = ORACLES["exact_dedup"].replace("FROM documents", "FROM dpii")
+    return f"""
+WITH dpii AS (SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents),
+q AS ({q_leg}),
+l AS ({l_leg}),
+reps AS ({r_leg}),
+pii AS (SELECT doc_id, {', '.join(counts)} FROM dpii)
+SELECT d.doc_id, l.lang_pred, q.quality
+FROM dpii d
+JOIN q ON q.doc_id = d.doc_id
+JOIN l ON l.doc_id = d.doc_id
+WHERE q.quality >= {min_quality!r}
+  AND l.lang_pred = '{lang}'
+  AND d.doc_id IN (SELECT doc_id FROM reps)
+  AND d.doc_id IN (SELECT doc_id FROM pii WHERE {total} <= {max_pii})
+"""
+
+
+@_register("corpus_pii_filter", _corpus_pii_sql())
+def q_corpus_pii_filter(spark, sf_dir):
+    """filter_corpus composed WITH the redaction sweep: documents whose
+    PII hit count exceeds max_pii are dropped alongside the quality /
+    langid / exact-dedup legs (every doc here carries injected PII;
+    docs divisible by 15 carry 4 hits and fall out)."""
+    from lazyosm_spark.operators.corpus import filter_corpus
+
+    out = filter_corpus(
+        _pii_injected(_t(spark, sf_dir, "documents")),
+        min_quality=0.25,
+        langs=("en",),
+        max_pii=3,
+    )
+    return out.select("doc_id", "lang_pred", "quality")
+
+
 @_register_fixture("fx_minhash_lsh_pairs", _minhash_lsh_sql())
 def q_fx_lsh(spark, sf_dir):
     """Full LSH dedup pipeline (bands -> bucket join -> exploded-join

@@ -82,3 +82,50 @@ def test_winnow_guarantee_shared_fingerprint(spark):
     }
     assert fp[1] & fp[2]
     assert not (fp[1] & fp[3] and fp[2] & fp[3])
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    """Deterministic injected PII is counted per pattern and fully
+    redacted — a second sweep over clean_text finds zero hits."""
+    from pyspark.sql import functions as F
+
+    from lazyosm_spark.operators.text import pii_scrub
+    from lazyosm_spark.plans.driver_queries import _pii_injected
+
+    docs = _pii_injected(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    out = pii_scrub(docs)
+    rows = out.collect()
+    assert len(rows) == 500
+    for r in rows:
+        d = r["doc_id"]
+        assert r["n_email"] == 1 and r["n_ipv4"] == 1, r
+        assert r["n_ssn"] == (1 if d % 3 == 0 else 0), r
+        assert r["n_phone"] == (1 if d % 5 == 0 else 0), r
+        assert r["n_pii"] == r["n_email"] + r["n_ssn"] + r["n_ipv4"] + r["n_phone"]
+        assert "<EMAIL>" in r["clean_text"] and "<IP>" in r["clean_text"]
+    # idempotence: rescrubbing the redacted text finds nothing
+    again = pii_scrub(out.select("doc_id", F.col("clean_text").alias("text")))
+    assert again.agg(F.sum("n_pii")).first()[0] == 0
+
+
+def test_filter_corpus_max_pii_leg(spark):
+    """max_pii composes into filter_corpus: docs with > max_pii hits
+    (here exactly the doc_id % 15 == 0 ones, 4 injected hits) drop out
+    relative to the same filter without the leg."""
+    from lazyosm_spark.operators.corpus import filter_corpus
+    from lazyosm_spark.plans.driver_queries import _pii_injected
+
+    docs = _pii_injected(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    base = {r["doc_id"] for r in filter_corpus(docs, min_quality=0.0, langs=("en", "de", "fr")).collect()}
+    kept = {
+        r["doc_id"]
+        for r in filter_corpus(
+            docs, min_quality=0.0, langs=("en", "de", "fr"), max_pii=3
+        ).collect()
+    }
+    assert kept == {d for d in base if d % 15 != 0}
+    assert len(base) > len(kept)
