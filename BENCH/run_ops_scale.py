@@ -181,6 +181,48 @@ def main() -> None:
     )
 
     # ------------------------------------------------------------------
+    # 3b. BPE tokenize: 10^6 docs (the simhash corpus) through the
+    # Arrow encoder — the filter on n_tokens forces the UDF column
+    # ------------------------------------------------------------------
+    from lazyosm_spark.operators.tokenize import tokenize
+
+    timed(
+        "bpe_tokenize",
+        lambda: tokenize(docs).filter(F.col("n_tokens") > 0).count(),
+        N_SIMHASH_DOCS,
+        {"vocab": "resources/bpe_merges.json (201 tokens)", "docs_tokens_each": 20},
+    )
+
+    # ------------------------------------------------------------------
+    # 3c. pii_scrub: 10^7 rows through the JVM regexp chain (every row
+    # carries an email + an IPv4, every third an SSN-style id); the
+    # filter touches clean_text AND the counts so nothing is pruned
+    # ------------------------------------------------------------------
+    from lazyosm_spark.operators.text import pii_scrub
+
+    pii_docs = spark.range(N_PACK_ROWS).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("lorem ipsum dolor u"),
+            F.col("id").cast("string"),
+            F.lit("@ex.org ip 10."),
+            (F.col("id") % 256).cast("string"),
+            F.lit(".0.9"),
+            F.when(F.col("id") % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    timed(
+        "pii_scrub",
+        lambda: pii_scrub(pii_docs)
+        .filter((F.length("clean_text") > 0) & (F.col("n_pii") >= 2))
+        .count(),
+        N_PACK_ROWS,
+        {"patterns": 4, "hits_per_row": "2-3"},
+    )
+
+    # ------------------------------------------------------------------
     # 4. bloom_semi_join: 10^7-row big side vs 10^5-key small side
     # ------------------------------------------------------------------
     from lazyosm_spark.operators.bloom import bloom_semi_join
