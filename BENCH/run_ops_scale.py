@@ -190,7 +190,40 @@ def main() -> None:
         "bpe_tokenize",
         lambda: tokenize(docs).filter(F.col("n_tokens") > 0).count(),
         N_SIMHASH_DOCS,
-        {"vocab": "resources/bpe_merges.json (201 tokens)", "docs_tokens_each": 20},
+        {
+            "vocab": "resources/bpe_merges.json (201 tokens)",
+            "docs_tokens_each": 20,
+            "corpus": "31 distinct words — memo-dominated BEST case",
+        },
+    )
+
+    # 3b'. the honest diversity case: ~10^5 DISTINCT words (realistic
+    # vocabulary scale) — each worker's memo must earn its 10^5 BPE
+    # encodes before the hit path takes over
+    div_docs = spark.range(N_SIMHASH_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit("w"),
+                    F.pmod(F.xxhash64(F.col("id") * 20 + j), F.lit(100_000)).cast(
+                        "string"
+                    ),
+                )
+                for j in range(20)
+            ],
+        ).alias("text"),
+    )
+    timed(
+        "bpe_tokenize_diverse",
+        lambda: tokenize(div_docs).filter(F.col("n_tokens") > 0).count(),
+        N_SIMHASH_DOCS,
+        {
+            "vocab": "resources/bpe_merges.json (201 tokens)",
+            "docs_tokens_each": 20,
+            "corpus": "~10^5 distinct words — memo warms per worker",
+        },
     )
 
     # ------------------------------------------------------------------

@@ -84,10 +84,14 @@ def tokenize(
     id_col: str = "doc_id",
     text_col: str = "text",
     spec_path: str | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """-> (id_col, token_ids array<int>, n_tokens long).  One Arrow
-    pass, merges broadcast, no shuffle — composes directly with
-    pack_sequences(ctx_len) on (id_col, n_tokens)."""
+    """-> (id_col, *extra_cols, token_ids array<int>, n_tokens long).
+    One Arrow pass, merges broadcast, no shuffle — composes directly
+    with pack_sequences(ctx_len) on (id_col, n_tokens).  Stateless, so
+    it drops into Structured Streaming plans unchanged
+    (streaming/pipeline.stream_tokenize_pack); ``extra_cols`` passes
+    grouping columns (e.g. the packing stratum) through."""
     spec = load_bpe(spec_path)
     bc = docs.sparkSession.sparkContext.broadcast(
         (spec["tokens"], [tuple(m) for m in spec["merges"]])
@@ -120,6 +124,7 @@ def tokenize(
 
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         enc(normalize_text(text_col)).alias("token_ids"),
     ).withColumn("n_tokens", F.size("token_ids").cast("long"))
 

@@ -1408,6 +1408,7 @@ _PRIORITY_NEW = [
     "bpe_tokenize_pack",
     "pii_scrub",
     "corpus_pii_filter",
+    "fx_stream_tokenize_pack",
 ]
 
 
@@ -2145,6 +2146,55 @@ def q_fx_stream_pack(spark, sf_dir):
         spark, _os.path.join(d, "in") + "/*",
         "doc_id long, lang string, text string",
         _os.path.join(d, "out"), _os.path.join(d, "ck"),
+    )
+    q.awaitTermination(240)
+    return spark.read.parquet(_os.path.join(d, "out")).select(
+        "doc_id", "lang", "seq_id", "offset", "n_tokens"
+    )
+
+
+def _stream_tok_pack_sql(ctx: int = 128) -> str:
+    """Batch twin of the streaming BPE packer: per-lang running sum of
+    the GOLDEN token counts (the independent scalar BPE's output) in
+    doc_id (arrival) order."""
+    return f"""
+WITH g AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+           FROM {_golden('bpe_tokens_sf001')}),
+t AS (SELECT d.doc_id, d.lang, g.n_tokens
+      FROM documents d JOIN g ON g.doc_id = d.doc_id),
+c AS (SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+SELECT doc_id, lang,
+       CAST((cum - n_tokens) // {ctx} AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % {ctx} AS BIGINT) AS "offset",
+       n_tokens
+FROM c
+"""
+
+
+@_register_fixture("fx_stream_tokenize_pack", _stream_tok_pack_sql())
+def q_fx_stream_tokenize_pack(spark, sf_dir):
+    """Raw text -> BPE ids -> packed sequences in STRUCTURED STREAMING
+    (two doc_id-ordered arrival waves, keyed cursor spanning them);
+    n_tokens must equal the committed scalar-BPE golden per doc and
+    the chunk math the batch cumsum."""
+    import os as _os
+    import tempfile
+
+    from lazyosm_spark.streaming.pipeline import stream_tokenize_pack
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    split = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    d = tempfile.mkdtemp(prefix="stokpack_q_")
+    docs.filter(F.col("doc_id") <= split).write.parquet(_os.path.join(d, "in", "w1"))
+    docs.filter(F.col("doc_id") > split).write.parquet(_os.path.join(d, "in", "w2"))
+    q = stream_tokenize_pack(
+        spark, _os.path.join(d, "in") + "/*",
+        "doc_id long, lang string, text string",
+        _os.path.join(d, "out"), _os.path.join(d, "ck"),
+        ctx_len=128,
     )
     q.awaitTermination(240)
     return spark.read.parquet(_os.path.join(d, "out")).select(

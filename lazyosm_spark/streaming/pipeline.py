@@ -400,6 +400,14 @@ def stream_pack_sequences(
         "lang",
         F.size(F.split(normalize_text("text"), " ")).cast("long").alias("n_tokens"),
     )
+    return _pack_token_stream(toks, output_dir, checkpoint_dir, ctx_len)
+
+
+def _pack_token_stream(
+    toks, output_dir: str, checkpoint_dir: str, ctx_len: int
+) -> StreamingQuery:
+    """(doc_id, lang, n_tokens) stream -> keyed-state packer -> parquet
+    sink (shared tail of the whitespace and BPE packers)."""
     packed = toks.groupBy("lang").applyInPandasWithState(
         _pack_state_fn_factory(ctx_len),
         outputStructType=PACK_OUT_SCHEMA,
@@ -414,3 +422,29 @@ def stream_pack_sequences(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_tokenize_pack(
+    spark: SparkSession,
+    input_dir: str,
+    input_schema: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    ctx_len: int = 512,
+    spec_path: str | None = None,
+) -> StreamingQuery:
+    """Raw text -> BPE token ids -> packed training sequences,
+    STREAMING end-to-end: the tokenizer is stateless (broadcast merges,
+    one Arrow stage — identical in a micro-batch plan), so only the
+    per-stratum token cursor carries state; restarts resume from the
+    checkpointed cursor exactly as stream_pack_sequences.  n_tokens is
+    the REAL vocabulary tokenization (operators/tokenize), not the
+    whitespace heuristic — the streaming twin of the batch
+    bpe_tokenize_pack composition."""
+    from lazyosm_spark.operators.tokenize import tokenize
+
+    stream = spark.readStream.schema(input_schema).parquet(input_dir)
+    toks = tokenize(stream, spec_path=spec_path, extra_cols=("lang",)).select(
+        "doc_id", "lang", "n_tokens"
+    )
+    return _pack_token_stream(toks, output_dir, checkpoint_dir, ctx_len)

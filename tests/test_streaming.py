@@ -341,3 +341,55 @@ def test_stream_pack_sequences_cursor_spans_restarts(spark):
             for r in batch.collect()
         }
         assert got == want and len(got) == 120
+
+
+def test_stream_tokenize_pack_matches_batch(spark):
+    """Raw text -> BPE ids -> packed sequences STREAMING across a
+    restart: the per-stratum cursor spans waves and every n_tokens is
+    the real vocabulary tokenization — equal to the batch per-lang
+    cumsum over tokenize() output."""
+    from pyspark.sql import Window
+
+    from lazyosm_spark.operators.tokenize import tokenize
+    from lazyosm_spark.streaming.pipeline import stream_tokenize_pack
+
+    ctx = 64
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = base.select("doc_id", "lang", "text").filter(F.col("doc_id") < 120)
+
+    with tempfile.TemporaryDirectory() as d:
+        in_dir, out_dir, ck = (
+            os.path.join(d, "in"),
+            os.path.join(d, "out"),
+            os.path.join(d, "ck"),
+        )
+        schema = "doc_id long, lang string, text string"
+        docs.filter(F.col("doc_id") < 60).coalesce(1).write.parquet(
+            os.path.join(in_dir, "w1")
+        )
+        q1 = stream_tokenize_pack(spark, in_dir + "/*", schema, out_dir, ck, ctx_len=ctx)
+        q1.awaitTermination(120)
+        docs.filter(F.col("doc_id") >= 60).coalesce(1).write.parquet(
+            os.path.join(in_dir, "w2")
+        )
+        q2 = stream_tokenize_pack(spark, in_dir + "/*", schema, out_dir, ck, ctx_len=ctx)
+        q2.awaitTermination(120)
+
+        got = {
+            r["doc_id"]: (r["lang"], r["seq_id"], r["offset"], r["n_tokens"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        w = Window.partitionBy("lang").orderBy("doc_id")
+        batch = tokenize(docs, extra_cols=("lang",)).withColumn(
+            "cum", F.sum("n_tokens").over(w)
+        )
+        want = {
+            r["doc_id"]: (
+                r["lang"],
+                (r["cum"] - r["n_tokens"]) // ctx,
+                (r["cum"] - r["n_tokens"]) % ctx,
+                r["n_tokens"],
+            )
+            for r in batch.collect()
+        }
+        assert got == want and len(got) == 120
