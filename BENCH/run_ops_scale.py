@@ -331,20 +331,15 @@ Context:
   survivors before the only shuffle — the wall is scan + Arrow probe
   bound."""
         )
-        B, E = "<!-- BEGIN auto:ops-scale -->", "<!-- END auto:ops-scale -->"
-        block = B + "\n" + "\n".join(md).rstrip() + "\n" + E
-        path = os.path.join(REPO, "BENCH", "BASELINE.md")
-        old = open(path).read()
+        from tools.mdsplice import splice_marker_block
+
         # explicit marker-bounded splice (round-4 ADVICE class): never
         # search heading substrings; missing/unpaired markers fail loudly
-        if (B in old) != (E in old):
-            sys.exit(f"BASELINE.md has an unpaired ops-scale marker ({B} / {E})")
-        if B not in old:
-            sys.exit(f"BASELINE.md lacks {B}; add the marker pair where the section belongs")
-        start, end = old.index(B), old.index(E) + len(E)
-        old = old[:start] + block + old[end:]
-        with open(path, "w") as f:
-            f.write(old)
+        splice_marker_block(
+            os.path.join(REPO, "BENCH", "BASELINE.md"),
+            "auto:ops-scale",
+            "\n".join(md),
+        )
         print("# BENCH/BASELINE.md updated", file=sys.stderr)
 
 

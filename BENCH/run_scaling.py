@@ -224,8 +224,9 @@ Method notes:
         # substrings (round-4 ADVICE: a renamed heading or a matching
         # substring inside another section silently truncated or
         # duplicated manual evidence) — missing markers fail loudly
-        B4, E4 = "<!-- BEGIN auto:scaling-4x -->", "<!-- END auto:scaling-4x -->"
-        ANCHOR = "<!-- ANCHOR manual-sections -->"
+        from tools.mdsplice import ANCHOR, splice_marker_block
+
+        B4 = "<!-- BEGIN auto:scaling-4x -->"
         if "--section-4x" in sys.argv:
             # additive mode (round-3 verdict item 9): the 4x-input run
             # replaces exactly the marker-bounded block, leaving the
@@ -233,19 +234,9 @@ Method notes:
             title = f"## Scaling at 4x input ({n_images:,} images) — same gate, data outgrows page cache"
             sec = md.split("\n", 1)[1]  # drop the "# BENCH/BASELINE.md" title
             sec = sec.replace("## N -> 4N pairs", "### N -> 4N pairs")
-            block = B4 + "\n" + title + "\n" + sec.rstrip() + "\n" + E4
-            old = open(path).read()
-            if (B4 in old) != (E4 in old):
-                sys.exit(f"BASELINE.md has an unpaired 4x marker ({B4} / {E4}); fix the file before splicing")
-            if B4 in old:
-                start, end = old.index(B4), old.index(E4) + len(E4)
-                old = old[:start] + block + old[end:]
-            elif ANCHOR in old:
-                old = old.replace(ANCHOR, block + "\n\n" + ANCHOR, 1)
-            else:
-                sys.exit(f"BASELINE.md lacks both the 4x markers and {ANCHOR}; add the anchor where the 4x section should land")
-            with open(path, "w") as f:
-                f.write(old)
+            block = splice_marker_block(
+                path, "auto:scaling-4x", title + "\n" + sec, if_missing="anchor"
+            )
             print(block)
             return
         # full-rewrite mode: everything from the manual-sections anchor

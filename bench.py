@@ -39,6 +39,23 @@ def lineitem_points(spark, sf_dir):
     )
 
 
+def knn_panel(spark, sf_dir):
+    """R2 low-discrepancy query panel (one query per part row) — the
+    ONE construction shared by every grid_knn bench site (bench cold,
+    bench repeat, run_sf1); a typo'd constant in a stray copy would
+    silently bench a different panel."""
+    from pyspark.sql import functions as F
+
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    i = F.col("p_partkey").cast("double")
+    phi, phi2 = 0.7548776662466927, 0.5698402909980532  # R2 constants
+    return part.select(
+        F.col("p_partkey").alias("query_id"),
+        (F.lit(-180.0) + 360.0 * (i * phi - F.floor(i * phi))).alias("lon"),
+        (F.lit(-85.0) + 170.0 * (i * phi2 - F.floor(i * phi2))).alias("lat"),
+    )
+
+
 def _completed_stages(spark):
     """Completed stages via the UI REST API (requires spark.ui.enabled)."""
     import json as _json
@@ -155,18 +172,10 @@ def main() -> None:
 
     # q5: grid kNN (part-derived queries vs lineitem-derived points)
     def knn_run():
-        part = spark.read.parquet(os.path.join(SF_DIR, "part.parquet"))
-        i = F.col("p_partkey").cast("double")
-        phi, phi2 = 0.7548776662466927, 0.5698402909980532  # R2 low-discrepancy constants
-        q = part.select(
-            F.col("p_partkey").alias("query_id"),
-            (F.lit(-180.0) + 360.0 * (i * phi - F.floor(i * phi))).alias("lon"),
-            (F.lit(-85.0) + 170.0 * (i * phi2 - F.floor(i * phi2))).alias("lat"),
-        )
         # auto res from density; n_points/n_queries hints skip the
         # dispatch count jobs
         return grid_knn(
-            q, pts, k=5, n_points=n_points, n_queries=n_queries_knn
+            knn_panel(spark, SF_DIR), pts, k=5, n_points=n_points, n_queries=n_queries_knn
         ).count()
 
     part_bench = spark.read.parquet(os.path.join(SF_DIR, "part.parquet"))
@@ -184,16 +193,8 @@ def main() -> None:
     prep.count()  # materialize the layout outside the timed region
 
     def knn_repeat():
-        part = spark.read.parquet(os.path.join(SF_DIR, "part.parquet"))
-        i = F.col("p_partkey").cast("double")
-        phi, phi2 = 0.7548776662466927, 0.5698402909980532
-        q = part.select(
-            F.col("p_partkey").alias("query_id"),
-            (F.lit(-180.0) + 360.0 * (i * phi - F.floor(i * phi))).alias("lon"),
-            (F.lit(-85.0) + 170.0 * (i * phi2 - F.floor(i * phi2))).alias("lat"),
-        )
         return grid_knn(
-            q,
+            knn_panel(spark, SF_DIR),
             pts,
             k=5,
             n_queries=n_queries_knn,

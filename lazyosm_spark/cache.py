@@ -22,20 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def free_local_checkpoint(df: DataFrame) -> None:
-    """Release the block-manager storage behind a localCheckpointed
-    DataFrame.  No-op for non-checkpoint plans.  The frame must never
-    be read again (see module docstring)."""
-    try:
-        plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getName().endswith("LogicalRDD"):
-            plan.rdd().unpersist(False)
-    except Exception:
-        # cache hygiene must never fail a query (e.g. a plan wrapped by
-        # further operators is not a bare LogicalRDD — harmless leak)
-        pass
-
-
 def is_local_checkpoint(df: DataFrame) -> bool:
     """True when the frame's analyzed plan IS a bare localCheckpoint
     scan (LogicalRDD) — the shape free_local_checkpoint can release."""
@@ -44,6 +30,19 @@ def is_local_checkpoint(df: DataFrame) -> bool:
         return bool(plan.getClass().getName().endswith("LogicalRDD"))
     except Exception:
         return False
+
+
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Release the block-manager storage behind a localCheckpointed
+    DataFrame.  No-op for non-checkpoint plans.  The frame must never
+    be read again (see module docstring)."""
+    try:
+        if is_local_checkpoint(df):
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        # cache hygiene must never fail a query (e.g. a plan wrapped by
+        # further operators is not a bare LogicalRDD — harmless leak)
+        pass
 
 
 def n_persistent_rdds(spark) -> int:

@@ -59,6 +59,10 @@ def filter_corpus(
         )
     )
     if max_pii is not None:
+        # counted over the FULL corpus on purpose: the chain is pure
+        # map-side expressions (no shuffle), and restricting it to the
+        # quality/lang survivors would re-evaluate those legs a second
+        # time (or force caching `out`) for a workload-dependent win
         pii = _text.pii_scrub(d).select("doc_id", "n_pii")
         out = out.join(
             pii.filter(F.col("n_pii") <= max_pii).select("doc_id"),

@@ -394,6 +394,11 @@ def _partition_ranges(
     return out
 
 
+# _bucket_pairs memory knobs (module-level so tests can shrink them to
+# force the tile path on small corpora)
+_PAIR_BUDGET = 8_000_000  # max transient pair-matrix cells per chunk
+_TILE = 2_048  # row-block edge for oversized single buckets
+
 _POP16 = None
 
 
@@ -427,7 +432,14 @@ def _bucket_pairs(bands: DataFrame, max_hamming: int) -> DataFrame:
     triu_indices(m) per size, and xor + popcount run as whole-matrix
     numpy ops (~10^9 pairs/s/core vs ~10^5 through the join) — the
     Python loop is per (distinct size x chunk), never per bucket or
-    pair.  Chunking bounds the transient pair matrix to ~8M cells.
+    pair.  Chunking bounds the transient pair matrix to ~8M cells;
+    a single bucket whose own pair count exceeds the budget (an
+    irreducible identical-hash mega-cluster past the split ladder) is
+    processed in TILE x TILE blocks of its pair space instead of one
+    O(m^2) allocation.  NB collect_list still materializes each bucket
+    as ONE Arrow row (~16 B/doc) — for true mega-dup corpora use
+    collapse_identical / exact_dedup (documented in
+    simhash_near_pairs), which keep such clusters out of the buckets.
 
     Output = exactly the join formulation's survivors
     (doc_id_a < doc_id_b, hamming <= r, pre-distinct multiplicity
@@ -443,11 +455,27 @@ def _bucket_pairs(bands: DataFrame, max_hamming: int) -> DataFrame:
         .select("ids", "sims")
     )
 
+    PAIR_BUDGET = _PAIR_BUDGET  # captured by value at UDF pickle time
+    TILE = _TILE
+
     def emit(batches):
         for pdf in batches:
             outs_a: list[np.ndarray] = []
             outs_b: list[np.ndarray] = []
             outs_h: list[np.ndarray] = []
+
+            def push(da, db, h):
+                # a repeated input doc_id pairs with itself inside a
+                # bucket — the join formulation's strict a < b dropped
+                # those; keep that contract
+                keep = da != db
+                if keep.any():
+                    a = da[keep]
+                    b = db[keep]
+                    outs_a.append(np.minimum(a, b))
+                    outs_b.append(np.maximum(a, b))
+                    outs_h.append(h[keep])
+
             n = len(pdf)
             sizes = np.fromiter((len(v) for v in pdf["ids"]), dtype=np.int64, count=n)
             idv = pdf["ids"].to_numpy()
@@ -457,7 +485,37 @@ def _bucket_pairs(bands: DataFrame, max_hamming: int) -> DataFrame:
                     continue
                 sel = np.flatnonzero(sizes == m)
                 npairs = int(m) * (int(m) - 1) // 2
-                chunk = max(1, 8_000_000 // npairs)
+                if npairs > PAIR_BUDGET:
+                    # an irreducible mega-bucket (e.g. an identical-hash
+                    # cluster past the split ladder): tile the m x m
+                    # pair space in TILE x TILE blocks so transient
+                    # matrices stay bounded instead of allocating
+                    # O(m^2) at once (triu_indices(50k) alone would be
+                    # ~20 GB)
+                    for i in sel:
+                        ids = np.asarray(idv[i], dtype=np.int64)
+                        sims = np.asarray(smv[i], dtype=np.int64).view(np.uint64)
+                        mm = len(ids)
+                        for b0 in range(0, mm, TILE):
+                            bi = slice(b0, min(b0 + TILE, mm))
+                            for c0 in range(b0, mm, TILE):
+                                cj = slice(c0, min(c0 + TILE, mm))
+                                h = _popcount64(
+                                    sims[bi][:, None] ^ sims[cj][None, :]
+                                )
+                                mask = h <= r
+                                if b0 == c0:  # diagonal block: j > i only
+                                    mask &= ~np.tri(
+                                        bi.stop - bi.start,
+                                        cj.stop - cj.start,
+                                        k=0,
+                                        dtype=bool,
+                                    )
+                                if mask.any():
+                                    ii, jj = np.nonzero(mask)
+                                    push(ids[bi][ii], ids[cj][jj], h[mask])
+                    continue
+                chunk = max(1, PAIR_BUDGET // npairs)
                 iu, ju = np.triu_indices(int(m), 1)
                 for s0 in range(0, len(sel), chunk):
                     ss = sel[s0 : s0 + chunk]
@@ -467,13 +525,8 @@ def _bucket_pairs(bands: DataFrame, max_hamming: int) -> DataFrame:
                     ).view(np.uint64)
                     h = _popcount64(sims[:, iu] ^ sims[:, ju])
                     mask = h <= r
-                    if not mask.any():
-                        continue
-                    da = ids[:, iu][mask]
-                    db = ids[:, ju][mask]
-                    outs_a.append(np.minimum(da, db))
-                    outs_b.append(np.maximum(da, db))
-                    outs_h.append(h[mask])
+                    if mask.any():
+                        push(ids[:, iu][mask], ids[:, ju][mask], h[mask])
             if outs_a:
                 yield pd.DataFrame(
                     {

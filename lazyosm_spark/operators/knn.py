@@ -172,6 +172,19 @@ def grid_knn(
         missing = {"neighbor_id", "plon", "plat", "pcell"} - set(points_prepared.columns)
         if missing:
             raise ValueError(f"points_prepared lacks columns {sorted(missing)}")
+        # cell ids embed their resolution: a stale prepared_res would
+        # join ZERO rows at the "fast" level and silently escalate the
+        # whole panel to the terminal level — exact but slower than the
+        # cold path.  One 1-row probe of the (persisted) frame catches
+        # the drift up front.
+        from lazyosm_spark.functions.cells import cell_res
+
+        probe = points_prepared.select(cell_res(F.col("pcell")).alias("r")).first()
+        if probe is not None and probe["r"] != prepared_res:
+            raise ValueError(
+                f"points_prepared is encoded at res {probe['r']}, not "
+                f"prepared_res={prepared_res}; re-run prepare_points"
+            )
     if res is None:
         if prepared_res is not None:
             res = prepared_res

@@ -18,12 +18,13 @@ Encoding contract (pinned by the tests against the INDEPENDENT scalar
 oracle tests/oracle/bpe_ref.py, which implements the classic
 sequential-replacement formulation): normalize (lower + trim +
 collapse whitespace — the engine's canonical dedup normalizer), split
-on single spaces, per word append the end-of-word marker ``</w>`` and
-repeatedly contract the LOWEST-RANK adjacent symbol pair until no
-merge applies; symbols missing from the vocabulary map to ``<unk>``
-(id 0).  ``detokenize`` inverts exactly: concat token strings,
-``</w>`` -> space, trim — a byte-identical round trip for any text
-whose characters are printable ASCII (the base alphabet).
+on single spaces, per word append the end-of-word sentinel (U+2581 —
+non-ASCII, so a literal marker can never occur in printable-ASCII
+input) and repeatedly contract the LOWEST-RANK adjacent symbol pair
+until no merge applies; symbols missing from the vocabulary map to
+``<unk>`` (id 0).  ``detokenize`` inverts exactly: concat token
+strings, sentinel -> space, trim — a byte-identical round trip for
+any text whose characters are printable ASCII (the base alphabet).
 
 The reference has no tokenizer (engine-growth beyond reference parity,
 like the streaming family); the fixture-corpus merges table is
@@ -42,7 +43,7 @@ from pyspark.sql import functions as F
 from lazyosm_spark.operators.dedup import normalize_text
 
 UNK_ID = 0
-END_WORD = "</w>"
+END_WORD = "\u2581"  # non-ASCII: never collides with printable-ASCII input
 DEFAULT_SPEC = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "resources",
@@ -135,9 +136,9 @@ def detokenize(
     out_col: str = "text",
     spec_path: str | None = None,
 ) -> DataFrame:
-    """Inverse map: token ids -> text (concat, ``</w>`` -> space, trim).
-    Exact round trip for printable-ASCII input; <unk> ids surface as the
-    literal ``<unk>`` marker rather than guessing."""
+    """Inverse map: token ids -> text (concat, end-of-word sentinel ->
+    space, trim).  Exact round trip for printable-ASCII input; <unk>
+    ids surface as the literal ``<unk>`` marker rather than guessing."""
     spec = load_bpe(spec_path)
     bc = df.sparkSession.sparkContext.broadcast(spec["tokens"])
 

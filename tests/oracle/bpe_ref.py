@@ -9,8 +9,8 @@ merge tables; the tests assert their outputs identical token-by-token.
 
 Vocabulary file format (produced by tools/train_bpe.py):
     {"version": 1, "normalizer": "lower_trim_collapse_ws",
-     "tokens": ["<unk>", ...base chars..., "</w>", ...merge outputs...],
-     "merges": [["t", "h"], ["th", "e</w>"], ...]}
+     "tokens": ["<unk>", ...base chars..., END_WORD, ...merge outputs...],
+     "merges": [["t", "h"], ["th", "e▁"], ...]}
 """
 
 from __future__ import annotations
@@ -19,7 +19,7 @@ import json
 import re
 
 UNK_ID = 0
-END_WORD = "</w>"
+END_WORD = "\u2581"  # non-ASCII: never collides with printable-ASCII input
 
 
 def load_spec(path: str) -> dict:

@@ -463,3 +463,40 @@ def test_simhash_band_combo_bit_identical(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_bucket_pairs_tile_path_and_self_pairs(spark, monkeypatch):
+    """Shrunken pair budget forces the mega-bucket TILE path; output
+    must equal brute force, including with a duplicated doc_id (the
+    old join's strict a < b dropped self-pairs — so must the verify)."""
+    import numpy as np
+
+    import lazyosm_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "_PAIR_BUDGET", 64)
+    monkeypatch.setattr(dd, "_TILE", 16)
+    rng = np.random.default_rng(3)
+    # one mega-bucket: 60 docs sharing the low 12 bits (default c=2
+    # banding -> the (0,1) band holds all of them), flat path so the
+    # ladder cannot split it away; plus one DUPLICATE doc_id
+    base = ((rng.integers(0, 1 << 8, size=60, dtype=np.int64) << 12) | 0x5A5).tolist()
+    rows = list(enumerate(base)) + [(0, base[0])]  # doc 0 twice
+    sims = spark.createDataFrame(rows, "doc_id long, simhash long")
+    monkeypatch.setattr(dd, "simhash64", lambda d, i, t: sims)
+    docs = spark.createDataFrame([(i, "x") for i in range(61)], "doc_id long, text string")
+    got = {
+        tuple(x)
+        for x in dd.simhash_near_pairs(docs, max_hamming=8, bucket_threshold=None).collect()
+    }
+    sa = sims.selectExpr("doc_id da", "simhash xa")
+    sb = sims.selectExpr("doc_id db", "simhash xb")
+    brute = {
+        (x["da"], x["db"], x["h"])
+        for x in sa.crossJoin(sb)
+        .filter(F.col("da") < F.col("db"))
+        .withColumn("h", F.bit_count(F.col("xa").bitwiseXOR(F.col("xb"))))
+        .filter(F.col("h") <= 8)
+        .collect()
+    }
+    assert got == brute and len(got) > 0
+    assert all(a < b for a, b, _ in got)  # no self-pairs

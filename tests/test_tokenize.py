@@ -113,3 +113,18 @@ def test_tokenize_pack_composition(spark):
     ).first()
     assert stats["last_seq"] == (total - 1) // ctx
     assert 0 <= stats["min_off"] and stats["max_off"] < ctx
+
+
+def test_literal_marker_text_round_trips(spark):
+    """The end-of-word sentinel is non-ASCII (U+2581), so text that
+    literally contains '</w>'-style ASCII sequences — or any printable
+    ASCII — round-trips byte-exactly (the code-review regression:
+    an ASCII marker string was corrupted by detokenize's replace)."""
+    from lazyosm_spark.operators.tokenize import detokenize, tokenize
+
+    docs = spark.createDataFrame(
+        [(1, "a </w> b <unk> c"), (2, "x _ y __ z")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in detokenize(tokenize(docs)).collect()}
+    assert got == {1: "a </w> b <unk> c", 2: "x _ y __ z"}

@@ -56,8 +56,17 @@ def generate(
     from pyspark.sql import functions as F
 
     done = os.path.join(out, "_DONE")
+    stamp = f"src={src} factor={factor}\n"
     if os.path.exists(done):
-        return out
+        # the sentinel records WHAT was generated; a mismatch with the
+        # requested (src, factor) regenerates instead of silently
+        # serving stale data at the wrong scale
+        with open(done) as f:
+            if f.read() == stamp:
+                return out
+        import shutil
+
+        shutil.rmtree(out)
     os.makedirs(out, exist_ok=True)
     # family offsets = max over every member column present in src
     offsets: dict[str, int] = {}
@@ -92,7 +101,7 @@ def generate(
             os.path.join(out, f"{t}.parquet")
         )
     with open(done, "w") as f:
-        f.write(f"src={src} factor={factor}\n")
+        f.write(stamp)
     return out
 
 

@@ -29,7 +29,8 @@ import pandas as pd
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "lazyosm_spark", "resources", "bpe_merges.json")
-END_WORD = "</w>"
+END_WORD = "\u2581"  # non-ASCII sentinel: a literal marker can never
+# appear in printable-ASCII input, so the round trip stays exact
 # base alphabet: every printable ASCII char (space excluded — it is the
 # word separator, never a symbol) + the end-of-word marker.  Characters
 # outside the base map to <unk> at encode time.
