@@ -64,8 +64,13 @@ def pick_res(
 
     tc = target_candidates or max(32, 4 * k)
     ring_cells = (2 * start_ring + 1) ** 2
-    # pts/cell = n / 4^res; solve ring_cells * pts/cell ~= tc
-    return max(0, min(12, int(math.log2(max(n_points * ring_cells / tc, 1.0)) // 2)))
+    # pts/cell = n / 4^res; solve ring_cells * pts/cell ~= tc.  ROUND
+    # (not floor) the half-log: flooring overshot realized candidates
+    # by up to 4x of target (the window top-k is candidate-linear —
+    # measured ~15% of grid_knn wall at sf0.1); rounding lands within
+    # 2x either side, and undershoot is safe — stragglers with < k
+    # in-guarantee candidates escalate, exactness is res-invariant.
+    return max(0, min(12, round(math.log2(max(n_points * ring_cells / tc, 1.0)) / 2)))
 
 
 def prepare_points(
@@ -92,7 +97,12 @@ def prepare_points(
         F.col("lat").alias("plat"),
     ).withColumn("pcell", cell_encode("plon", "plat", res))
     n = n_partitions or points.sparkSession.sparkContext.defaultParallelism
-    return repartition_by_cell(p, "pcell", n).persist()
+    out = repartition_by_cell(p, "pcell", n).persist()
+    # stamp the encoding resolution so grid_knn's drift probe is a
+    # no-op for frames produced here (the probe only fires on frames
+    # assembled by hand or on a wrong prepared_res)
+    out._lazyosm_prepared_res = res
+    return out
 
 
 def grid_knn(
@@ -176,15 +186,19 @@ def grid_knn(
         # join ZERO rows at the "fast" level and silently escalate the
         # whole panel to the terminal level — exact but slower than the
         # cold path.  One 1-row probe of the (persisted) frame catches
-        # the drift up front.
-        from lazyosm_spark.functions.cells import cell_res
+        # the drift up front; the verdict is memoized on the frame
+        # OBJECT (prepare_points pre-stamps it), so repeat calls pay no
+        # probe job (~100 ms of pure task-dispatch overhead here).
+        if getattr(points_prepared, "_lazyosm_prepared_res", None) != prepared_res:
+            from lazyosm_spark.functions.cells import cell_res
 
-        probe = points_prepared.select(cell_res(F.col("pcell")).alias("r")).first()
-        if probe is not None and probe["r"] != prepared_res:
-            raise ValueError(
-                f"points_prepared is encoded at res {probe['r']}, not "
-                f"prepared_res={prepared_res}; re-run prepare_points"
-            )
+            probe = points_prepared.select(cell_res(F.col("pcell")).alias("r")).first()
+            if probe is not None and probe["r"] != prepared_res:
+                raise ValueError(
+                    f"points_prepared is encoded at res {probe['r']}, not "
+                    f"prepared_res={prepared_res}; re-run prepare_points"
+                )
+            points_prepared._lazyosm_prepared_res = prepared_res
     if res is None:
         if prepared_res is not None:
             res = prepared_res

@@ -430,3 +430,13 @@ def test_grid_knn_prepared_points_identical(spark):
         raise AssertionError("expected ValueError for missing columns")
     except ValueError:
         pass
+    # resolution drift: the frame is stamped/probed, a wrong
+    # prepared_res must raise instead of silently joining zero rows
+    prep2 = prepare_points(pdf, res)
+    try:
+        grid_knn(q, pdf, k=5, points_prepared=prep2, prepared_res=res + 1)
+        raise AssertionError("expected ValueError for res drift")
+    except ValueError:
+        pass
+    finally:
+        prep2.unpersist()
