@@ -256,6 +256,56 @@ def main() -> None:
     )
 
     # ------------------------------------------------------------------
+    # 3d. corpus_make end to end: 10^6 docs through curate (pii +
+    # quality + langid + exact dedup) -> BPE tokenize -> pack, WITH the
+    # three lineage checkpoints (real resumable-job shape, disk
+    # included); fresh output dir per rep so nothing resumes
+    # ------------------------------------------------------------------
+    import shutil
+    import tempfile
+
+    from jobs.corpus_make import run_pipeline
+
+    corpus_docs = docs.withColumn(
+        "lang",
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.pmod(F.col("doc_id"), 3) + 1).cast("int"),
+        ),
+    )
+    corpus_path = tempfile.mkdtemp(prefix="ops_corpus_in_")
+    if not only or "corpus_make_e2e" in only:
+        corpus_docs.write.mode("overwrite").parquet(corpus_path)
+
+    def corpus_run():
+        out = tempfile.mkdtemp(prefix="ops_corpus_out_")
+        try:
+            r = run_pipeline(
+                spark,
+                corpus_path,
+                out,
+                ctx_len=2048,
+                min_quality=0.0,
+                langs=("en", "de", "fr"),
+                max_pii=None,
+            )
+            return r["docs_kept"]
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    timed(
+        "corpus_make_e2e",
+        corpus_run,
+        N_SIMHASH_DOCS,
+        {
+            "stages": "curate(pii+quality+langid+dedup) -> bpe tokenize -> pack",
+            "lineage_checkpoints": 3,
+            "ctx_len": 2048,
+        },
+    )
+    shutil.rmtree(corpus_path, ignore_errors=True)
+
+    # ------------------------------------------------------------------
     # 4. bloom_semi_join: 10^7-row big side vs 10^5-key small side
     # ------------------------------------------------------------------
     from lazyosm_spark.operators.bloom import bloom_semi_join
