@@ -27,6 +27,7 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # tools.mdsplice import at write time
 
 
 def run_job(extra: list[str], timeout: int = 3000, ncpus: int | None = None) -> dict:
