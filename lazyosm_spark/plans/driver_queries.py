@@ -1409,6 +1409,7 @@ _PRIORITY_NEW = [
     "pii_scrub",
     "corpus_pii_filter",
     "fx_stream_tokenize_pack",
+    "token_span_dedup",
 ]
 
 
@@ -2275,6 +2276,30 @@ def q_bpe_tokenize_pack(spark, sf_dir):
 
     toks = tokenize(_t(spark, sf_dir, "documents")).select("doc_id", "n_tokens")
     return pack_sequences(toks, ctx_len=128)
+
+
+def _span_dedup_sql() -> str:
+    from lazyosm_spark.operators.spans import duplicate_spans_sql
+
+    toks = (
+        "(SELECT doc_id, list_transform(string_split(ids_csv, ','), "
+        f"x -> CAST(x AS INT)) AS ids FROM {_golden('bpe_tokens_sf001')}) AS g"
+    )
+    return duplicate_spans_sql(toks, span_len=8)
+
+
+@_register_fixture("token_span_dedup", _span_dedup_sql())
+def q_token_span_dedup(spark, sf_dir):
+    """Lee-et-al-style duplicate token-span detection composed on the
+    real tokenizer: raw text -> BPE ids -> every duplicated 8-token
+    span -> per-doc covered-token fraction.  The engine groups spans
+    by a 64-bit JVM hash in one shuffle; the oracle groups the golden
+    token lists exactly — identical absent a 2^-64 collision."""
+    from lazyosm_spark.operators.spans import duplicate_spans
+    from lazyosm_spark.operators.tokenize import tokenize
+
+    toks = tokenize(_t(spark, sf_dir, "documents"))
+    return duplicate_spans(toks, span_len=8)
 
 
 def _sample_sql() -> str:

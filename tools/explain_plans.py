@@ -240,6 +240,32 @@ def main() -> None:
     ]
     sections.append(("bloom_semi_join (Arrow probe before the first Exchange)", p, checks))
 
+    # 11. duplicate_spans: span enumeration must stay inside JVM
+    # codegen (no Python eval anywhere), the duplicate test is ONE
+    # shuffle on the span hash, and the per-doc groupBy reuses the
+    # coverage window's doc_id partitioning instead of adding its own
+    from lazyosm_spark.operators.spans import duplicate_spans
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    tok = d.select(
+        "doc_id",
+        F.expr("transform(split(text, ' '), w -> cast(hash(w) as int))").alias(
+            "token_ids"
+        ),
+    )
+    q11 = duplicate_spans(tok, span_len=8)
+    p = plan_of(q11)
+    checks = [
+        ("span stream is pure JVM (no Python eval stage)", "EvalPython" not in p),
+        ("exactly one Exchange on the span hash", p.count("hashpartitioning(h#") == 1),
+        (
+            "doc-side Exchanges <= 2 (coverage window + base join; groupBy reuses)",
+            p.count("hashpartitioning(doc_id#") <= 2,
+        ),
+        ("no cartesian / broadcast-nested-loop", "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+    ]
+    sections.append(("duplicate_spans (token-span dedup, one hash shuffle)", p, checks))
+
     ok = True
     lines = ["# Physical-plan audit (generated by tools/explain_plans.py)\n"]
     for name, plan, checks in sections:
