@@ -1410,6 +1410,7 @@ _PRIORITY_NEW = [
     "corpus_pii_filter",
     "fx_stream_tokenize_pack",
     "token_span_dedup",
+    "repetition_stats",
 ]
 
 
@@ -2300,6 +2301,24 @@ def q_token_span_dedup(spark, sf_dir):
 
     toks = tokenize(_t(spark, sf_dir, "documents"))
     return duplicate_spans(toks, span_len=8)
+
+
+def _repetition_sql() -> str:
+    from lazyosm_spark.operators.repetition import repetition_stats_sql
+
+    return repetition_stats_sql("documents")
+
+
+@_register("repetition_stats", _repetition_sql())
+def q_repetition_stats(spark, sf_dir):
+    """Gopher/C4 repetition quality signals: duplicated-line fractions
+    (row + char), modal-bigram dominance, and union-covered duplicated
+    trigram word fraction — every leg a JVM explode + count-window on
+    per-doc keys (skew-free by construction), formula-identical SQL
+    twin."""
+    from lazyosm_spark.operators.repetition import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
 def _sample_sql() -> str:
