@@ -34,6 +34,8 @@ def filter_corpus(
     langs: Sequence[str] = ("en",),
     near_dup_threshold: float | None = None,
     max_pii: int | None = None,
+    max_top_bigram_frac: float | None = None,
+    max_dup_ngram_frac: float | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -42,7 +44,12 @@ def filter_corpus(
     drops non-representative members of minhash-LSH near-dup CLUSTERS
     (transitive, via connected components).  ``max_pii`` (optional)
     drops documents whose pii_scrub hit count exceeds it — the
-    redaction-sweep leg, one more map-side expression chain."""
+    redaction-sweep leg, one more map-side expression chain.
+    ``max_top_bigram_frac`` / ``max_dup_ngram_frac`` (optional) add
+    the Gopher/C4 repetition leg (operators/repetition): drop docs
+    whose modal bigram owns more than the given share of bigram slots
+    or whose duplicated-trigram word coverage exceeds the bound — one
+    shared repetition_stats pass when either is set."""
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     q = _text.quality_score(d).select("doc_id", "quality")
     lang = _text.langid(d).select("doc_id", "lang_pred")
@@ -69,6 +76,18 @@ def filter_corpus(
             "doc_id",
             "left_semi",
         )
+    if max_top_bigram_frac is not None or max_dup_ngram_frac is not None:
+        from lazyosm_spark.operators.repetition import repetition_stats
+
+        rep = repetition_stats(d)
+        cond = F.lit(True)
+        if max_top_bigram_frac is not None:
+            cond = cond & (F.col("top_bigram_frac") <= F.lit(max_top_bigram_frac))
+        if max_dup_ngram_frac is not None:
+            cond = cond & (
+                F.col("dup_ngram_word_frac") <= F.lit(max_dup_ngram_frac)
+            )
+        out = out.join(rep.filter(cond).select("doc_id"), "doc_id", "left_semi")
     if near_dup_threshold is not None:
         from lazyosm_spark.operators.graph import dedup_representatives
 

@@ -1227,6 +1227,50 @@ def q_corpus_pii_filter(spark, sf_dir):
     return out.select("doc_id", "lang_pred", "quality")
 
 
+def _corpus_repetition_sql(
+    min_quality: float = 0.25,
+    lang: str = "en",
+    max_top_bigram: float = 0.05,
+    max_dup_ngram: float = 0.1,
+) -> str:
+    from lazyosm_spark.operators.repetition import repetition_stats_sql
+
+    return f"""
+WITH q AS ({ORACLES['quality_score']}),
+l AS ({ORACLES['langid']}),
+reps AS ({ORACLES['exact_dedup']}),
+rep AS ({repetition_stats_sql('documents')})
+SELECT d.doc_id, l.lang_pred, q.quality
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN l ON l.doc_id = d.doc_id
+WHERE q.quality >= {min_quality!r}
+  AND l.lang_pred = '{lang}'
+  AND d.doc_id IN (SELECT doc_id FROM reps)
+  AND d.doc_id IN (SELECT doc_id FROM rep
+                   WHERE top_bigram_frac <= {max_top_bigram!r}
+                     AND dup_ngram_word_frac <= {max_dup_ngram!r})
+"""
+
+
+@_register("corpus_repetition_filter", _corpus_repetition_sql())
+def q_corpus_repetition_filter(spark, sf_dir):
+    """filter_corpus composed WITH the Gopher/C4 repetition leg: docs
+    whose modal bigram owns > 5% of bigram slots or whose duplicated
+    trigrams cover > 10% of words fall out alongside quality / langid /
+    exact dedup — one shared repetition_stats pass for both bounds."""
+    from lazyosm_spark.operators.corpus import filter_corpus
+
+    out = filter_corpus(
+        _t(spark, sf_dir, "documents"),
+        min_quality=0.25,
+        langs=("en",),
+        max_top_bigram_frac=0.05,
+        max_dup_ngram_frac=0.1,
+    )
+    return out.select("doc_id", "lang_pred", "quality")
+
+
 @_register_fixture("fx_minhash_lsh_pairs", _minhash_lsh_sql())
 def q_fx_lsh(spark, sf_dir):
     """Full LSH dedup pipeline (bands -> bucket join -> exploded-join
@@ -1411,6 +1455,7 @@ _PRIORITY_NEW = [
     "fx_stream_tokenize_pack",
     "token_span_dedup",
     "repetition_stats",
+    "corpus_repetition_filter",
 ]
 
 

@@ -129,3 +129,37 @@ def test_filter_corpus_max_pii_leg(spark):
     }
     assert kept == {d for d in base if d % 15 != 0}
     assert len(base) > len(kept)
+
+
+def test_filter_corpus_repetition_leg(spark):
+    """The repetition bounds compose into filter_corpus: exactly the
+    docs exceeding either threshold (per repetition_stats itself) drop
+    relative to the same filter without the leg."""
+    from lazyosm_spark.operators.corpus import filter_corpus
+    from lazyosm_spark.operators.repetition import repetition_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {
+        r["doc_id"]
+        for r in filter_corpus(
+            docs, min_quality=0.0, langs=("en", "de", "fr")
+        ).collect()
+    }
+    kept = {
+        r["doc_id"]
+        for r in filter_corpus(
+            docs,
+            min_quality=0.0,
+            langs=("en", "de", "fr"),
+            max_top_bigram_frac=0.05,
+            max_dup_ngram_frac=0.1,
+        ).collect()
+    }
+    ok = {
+        r["doc_id"]
+        for r in repetition_stats(docs)
+        .filter("top_bigram_frac <= 0.05 AND dup_ngram_word_frac <= 0.1")
+        .collect()
+    }
+    assert kept == base & ok
+    assert len(base) > len(kept)
