@@ -306,6 +306,50 @@ def main() -> None:
     shutil.rmtree(corpus_path, ignore_errors=True)
 
     # ------------------------------------------------------------------
+    # 3e. duplicate_spans: 10^6 docs x 64 token ids in near-dup
+    # clusters of 10 (first 50 ids shared per cluster, tail unique) —
+    # every doc carries exactly one corpus-duplicated 50-token span,
+    # the Lee-et-al dedup shape; ~1.5x10^7 spans through the hash
+    # count-window
+    # ------------------------------------------------------------------
+    from lazyosm_spark.operators.spans import duplicate_spans
+
+    span_docs = spark.range(N_SIMHASH_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "transform(sequence(1, 64), j -> cast(pmod("
+            "CASE WHEN j <= 50 THEN xxhash64(id div 10, j) "
+            "ELSE xxhash64(id, j) END, 2147483647) as int))"
+        ).alias("token_ids"),
+    )
+    timed(
+        "duplicate_spans",
+        lambda: duplicate_spans(span_docs, span_len=50)
+        .filter("dup_tokens > 0")
+        .count(),
+        N_SIMHASH_DOCS,
+        {
+            "span_len": 50,
+            "tokens_per_doc": 64,
+            "spans_total": 15 * N_SIMHASH_DOCS,
+            "cluster_size": 10,
+        },
+    )
+
+    # ------------------------------------------------------------------
+    # 3f. repetition_stats: the 10^6-doc simhash corpus (20 words each,
+    # hot cluster stems) through all three explode+count-window legs
+    # ------------------------------------------------------------------
+    from lazyosm_spark.operators.repetition import repetition_stats
+
+    timed(
+        "repetition_stats",
+        lambda: repetition_stats(docs).filter("top_bigram_frac >= 0").count(),
+        N_SIMHASH_DOCS,
+        {"words_per_doc": 20, "legs": "dup-lines + modal-bigram + dup-trigram"},
+    )
+
+    # ------------------------------------------------------------------
     # 4. bloom_semi_join: 10^7-row big side vs 10^5-key small side
     # ------------------------------------------------------------------
     from lazyosm_spark.operators.bloom import bloom_semi_join
@@ -379,7 +423,13 @@ Context:
 - `bloom_semi_join` joins a 10^7-row big side against a 10^5-key
   small side: the broadcast bitmap probe cuts the big side to ~9.5%
   survivors before the only shuffle — the wall is scan + Arrow probe
-  bound."""
+  bound.
+- `duplicate_spans` pushes ~1.5x10^7 50-token spans through the span-
+  hash count window (~3M spans/s end to end, all JVM); every doc
+  carries one corpus-duplicated span (clusters of 10), so the
+  coverage window and the per-doc join run at full width.
+- `repetition_stats` runs all three explode+count-window legs
+  (~4x10^7 exploded rows total) over 10^6 20-word docs."""
         )
         from tools.mdsplice import splice_marker_block
 
