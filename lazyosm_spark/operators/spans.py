@@ -120,6 +120,131 @@ def duplicate_spans(
     )
 
 
+def contamination(
+    tok: DataFrame,
+    eval_tok: DataFrame,
+    span_len: int = 13,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    sizes: DataFrame | None = None,
+) -> DataFrame:
+    """Eval-set decontamination (the GPT-3-style n-gram overlap check,
+    Brown et al. 2020 appendix C — 13-gram collisions): flag every
+    corpus document sharing ANY ``span_len``-token run with the eval
+    set.  -> (id_col, n_tokens, n_hit_spans, hit_tokens, hit_frac);
+    clean docs appear with zeros.
+
+    Scale shape (better than duplicate_spans): the eval side is small
+    by definition, so its distinct span hashes broadcast and the
+    corpus span stream is filtered IN PLACE — the only shuffle is the
+    per-doc fold on doc_id.  For an eval set too large to broadcast,
+    bloom_semi_join(corpus_spans, eval_spans, "h") drops in as the
+    pre-shuffle filter.  ``sizes`` as in duplicate_spans.
+    """
+    if span_len < 1:
+        raise ValueError(f"span_len must be >= 1, got {span_len}")
+    L = int(span_len)
+
+    def _spans(df: DataFrame, keep_id: bool) -> DataFrame:
+        expr = (
+            f"CASE WHEN size({ids_col}) >= {L} THEN "
+            f"transform(sequence(1, size({ids_col}) - {L} + 1), "
+            f"i -> struct(i AS pos, xxhash64(slice({ids_col}, i, {L})) AS h)) "
+            f"ELSE CAST(array() AS array<struct<pos:int,h:bigint>>) END"
+        )
+        cols = [F.col(id_col)] if keep_id else []
+        return df.select(*cols, F.explode(F.expr(expr)).alias("s")).select(
+            *([id_col] if keep_id else []),
+            F.col("s.pos").alias("pos"),
+            F.col("s.h").alias("h"),
+        )
+
+    eval_hashes = F.broadcast(_spans(eval_tok, keep_id=False).select("h").distinct())
+    hits = _spans(tok, keep_id=True).join(eval_hashes, on="h", how="left_semi")
+    nxt = F.lead("pos").over(Window.partitionBy(id_col).orderBy("pos"))
+    agg = (
+        hits.withColumn(
+            "covered",
+            F.least(F.coalesce(nxt, F.col("pos") + L), F.col("pos") + L)
+            - F.col("pos"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("hit_spans"),
+            F.sum("covered").cast("long").alias("hit_toks"),
+        )
+    )
+    if sizes is not None:
+        base = sizes.select(id_col, F.col("n_tokens").cast("long").alias("n_tokens"))
+    else:
+        base = tok.select(id_col, F.size(ids_col).cast("long").alias("n_tokens"))
+    out = (
+        base.join(agg, on=id_col, how="left")
+        .withColumn("n_hit_spans", F.coalesce("hit_spans", F.lit(0)).cast("long"))
+        .withColumn("hit_tokens", F.coalesce("hit_toks", F.lit(0)).cast("long"))
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_hit_spans",
+        "hit_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("hit_tokens").cast("double") / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("hit_frac"),
+    )
+
+
+def contamination_sql(
+    tok_table: str,
+    eval_table: str,
+    span_len: int = 13,
+    id_col: str = "doc_id",
+    ids_expr: str = "ids",
+) -> str:
+    """DuckDB twin of ``contamination``: exact span-list matching (the
+    engine matches 64-bit hashes — identical absent a 2^-64
+    collision), formula-identical coverage math.  ``eval_table`` must
+    expose the same (id_col, ids_expr) shape as ``tok_table``."""
+    L = int(span_len)
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {ids_expr} AS ids FROM {tok_table}
+),
+espans AS (
+  SELECT DISTINCT list_slice(ids, i, i + {L} - 1) AS span
+  FROM (SELECT {ids_expr} AS ids FROM {eval_table}),
+       UNNEST(generate_series(1, len(ids) - {L} + 1)) AS t(i)
+  WHERE len(ids) >= {L}
+),
+spans AS (
+  SELECT {id_col}, i AS pos, list_slice(ids, i, i + {L} - 1) AS span
+  FROM toks, UNNEST(generate_series(1, len(ids) - {L} + 1)) AS t(i)
+  WHERE len(ids) >= {L}
+),
+cov AS (
+  SELECT s.{id_col}, s.pos,
+         least(coalesce(lead(s.pos) OVER (PARTITION BY s.{id_col} ORDER BY s.pos),
+                        s.pos + {L}), s.pos + {L}) - s.pos AS covered
+  FROM spans s JOIN espans e ON s.span = e.span
+),
+agg AS (
+  SELECT {id_col}, count(*) AS hit_spans, sum(covered) AS hit_toks
+  FROM cov GROUP BY {id_col}
+)
+SELECT t.{id_col},
+       CAST(len(t.ids) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.hit_spans, 0) AS BIGINT) AS n_hit_spans,
+       CAST(coalesce(a.hit_toks, 0) AS BIGINT) AS hit_tokens,
+       CASE WHEN len(t.ids) > 0
+            THEN CAST(coalesce(a.hit_toks, 0) AS DOUBLE) / CAST(len(t.ids) AS BIGINT)
+            ELSE 0.0 END AS hit_frac
+FROM toks t LEFT JOIN agg a ON t.{id_col} = a.{id_col}
+"""
+
+
 def duplicate_spans_sql(
     tok_table: str,
     span_len: int = 50,

@@ -1456,6 +1456,7 @@ _PRIORITY_NEW = [
     "token_span_dedup",
     "repetition_stats",
     "corpus_repetition_filter",
+    "decontaminate",
 ]
 
 
@@ -2346,6 +2347,37 @@ def q_token_span_dedup(spark, sf_dir):
 
     toks = tokenize(_t(spark, sf_dir, "documents"))
     return duplicate_spans(toks, span_len=8)
+
+
+def _decontaminate_sql() -> str:
+    from lazyosm_spark.operators.spans import contamination_sql
+
+    toks = (
+        "(SELECT doc_id, list_transform(string_split(ids_csv, ','), "
+        f"x -> CAST(x AS INT)) AS ids FROM {_golden('bpe_tokens_sf001')}) AS g"
+    )
+    ev = (
+        "(SELECT doc_id, list_transform(string_split(ids_csv, ','), "
+        f"x -> CAST(x AS INT)) AS ids FROM {_golden('bpe_tokens_sf001')} "
+        "WHERE doc_id % 50 = 0) AS e"
+    )
+    return contamination_sql(toks, ev, span_len=8)
+
+
+@_register_fixture("decontaminate", _decontaminate_sql())
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination (GPT-3-style n-gram overlap): every
+    corpus doc sharing any 8-token BPE span with the eval slice
+    (doc_id % 50 == 0) is flagged with union span coverage.  The eval
+    span hashes BROADCAST, so the corpus span stream shuffles only on
+    doc_id for the fold; oracle = exact list matching over the golden
+    ids."""
+    from lazyosm_spark.operators.spans import contamination
+    from lazyosm_spark.operators.tokenize import tokenize
+
+    toks = tokenize(_t(spark, sf_dir, "documents"))
+    ev = toks.filter(F.col("doc_id") % 50 == 0)
+    return contamination(toks, ev, span_len=8)
 
 
 def _repetition_sql() -> str:

@@ -109,6 +109,84 @@ def test_sql_twin_matches_engine(spark, tmp_path):
     assert eng == dd
 
 
+def _run_contam(spark, docs, eval_docs, span_len):
+    from lazyosm_spark.operators.spans import contamination
+
+    mk = lambda d: spark.createDataFrame(
+        [(i, ids) for i, ids in d.items()], "doc_id int, token_ids array<int>"
+    )
+    rows = contamination(mk(docs), mk(eval_docs), span_len=span_len).collect()
+    return {r["doc_id"]: r for r in rows}
+
+
+def test_contamination_vs_oracle(spark):
+    from tests.oracle.span_ref import contamination_ref
+
+    docs = {
+        1: [1, 2, 3, 4, 5, 6],  # contains eval span [3,4,5]
+        2: [9, 9, 9, 9],  # clean
+        3: [3, 4, 5, 0, 3, 4, 5],  # two overlapping-free hits
+        4: [],
+        5: [3, 4],  # shorter than span
+    }
+    eval_docs = {100: [0, 3, 4, 5, 7]}
+    got = _run_contam(spark, docs, eval_docs, 3)
+    ref = contamination_ref(docs, eval_docs, 3)
+    assert set(got) == set(ref)
+    for d, (nt, nh, ht) in ref.items():
+        r = got[d]
+        assert (r["n_tokens"], r["n_hit_spans"], r["hit_tokens"]) == (nt, nh, ht)
+    assert got[1]["n_hit_spans"] == 1 and got[2]["n_hit_spans"] == 0
+    # doc 3 hits [3,4,5] at 0 and 4 AND [0,3,4] at 3 -> union covers all 7
+    assert got[3]["n_hit_spans"] == 3 and got[3]["hit_tokens"] == 7
+
+
+def test_contamination_randomized(spark):
+    import random
+
+    from tests.oracle.span_ref import contamination_ref
+
+    rng = random.Random(5)
+    docs = {
+        d: [rng.randrange(5) for _ in range(rng.randrange(0, 30))]
+        for d in range(50)
+    }
+    eval_docs = {1000 + d: [rng.randrange(5) for _ in range(15)] for d in range(5)}
+    got = _run_contam(spark, docs, eval_docs, 4)
+    ref = contamination_ref(docs, eval_docs, 4)
+    for d, (nt, nh, ht) in ref.items():
+        r = got[d]
+        assert (r["n_tokens"], r["n_hit_spans"], r["hit_tokens"]) == (nt, nh, ht), d
+
+
+def test_contamination_sql_twin(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from lazyosm_spark.operators.spans import contamination, contamination_sql
+
+    rng = random.Random(9)
+    docs = {
+        d: [rng.randrange(4) for _ in range(rng.randrange(4, 25))]
+        for d in range(30)
+    }
+    eval_docs = {500 + d: [rng.randrange(4) for _ in range(12)] for d in range(3)}
+    mk = lambda d: spark.createDataFrame(
+        [(i, ids) for i, ids in d.items()], "doc_id int, token_ids array<int>"
+    )
+    eng = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in contamination(mk(docs), mk(eval_docs), span_len=4).collect()
+    }
+    pc, pe = str(tmp_path / "c.parquet"), str(tmp_path / "e.parquet")
+    mk(docs).selectExpr("doc_id", "token_ids as ids").toPandas().to_parquet(pc)
+    mk(eval_docs).selectExpr("doc_id", "token_ids as ids").toPandas().to_parquet(pe)
+    sql = contamination_sql(f"read_parquet('{pc}')", f"read_parquet('{pe}')", span_len=4)
+    dd = {r[0]: tuple(r[1:]) for r in duckdb.connect().execute(sql).fetchall()}
+    assert eng == dd
+
+
 def test_sizes_hint_path_identical(spark):
     from lazyosm_spark.operators.spans import duplicate_spans
 

@@ -266,6 +266,26 @@ def main() -> None:
     ]
     sections.append(("duplicate_spans (token-span dedup, one hash shuffle)", p, checks))
 
+    # 12. contamination: the eval span hashes must BROADCAST (the
+    # corpus span stream is filtered in place — its only Exchange is
+    # the per-doc fold on doc_id, never the span hash)
+    from lazyosm_spark.operators.spans import contamination
+
+    ev = tok.filter(F.col("doc_id") % 50 == 0)
+    q12 = contamination(tok, ev, span_len=8)
+    p = plan_of(q12)
+    checks = [
+        ("eval span hashes arrive via BroadcastExchange", "BroadcastExchange" in p),
+        ("corpus spans filtered in place by a broadcast LEFT SEMI join",
+         "BroadcastHashJoin LeftSemi" in p),
+        ("only the eval-distinct shuffles on the span hash (corpus never does)",
+         p.count("hashpartitioning(h#") == 1),
+        ("span stream is pure JVM (no Python eval stage)", "EvalPython" not in p),
+        ("no cartesian / broadcast-nested-loop",
+         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+    ]
+    sections.append(("contamination (eval-span broadcast, no content shuffle)", p, checks))
+
     ok = True
     lines = ["# Physical-plan audit (generated by tools/explain_plans.py)\n"]
     for name, plan, checks in sections:
