@@ -575,6 +575,7 @@ def _split_bands(
     bucket_threshold: int | None,
     max_split_depth: int = 4,
     band_combo: int = 1,
+    n_bits: int = 60,
 ) -> DataFrame:
     """Band table (doc_id, simhash, spec, key) whose buckets are all
     <= bucket_threshold docs (except soundness/depth fallbacks), built
@@ -613,10 +614,10 @@ def _split_bands(
     if band_combo > 1:
         from itertools import combinations
 
-        blocks = _simhash_blocks(60, r + band_combo)
+        blocks = _simhash_blocks(n_bits, r + band_combo)
         level0_ranges = [list(c) for c in combinations(blocks, band_combo)]
     else:
-        level0_ranges = [[rng] for rng in _simhash_blocks(60, n_blocks)]
+        level0_ranges = [[rng] for rng in _simhash_blocks(n_bits, n_blocks)]
     level0 = []
     # keys are PACKED LONGS end-to-end (round-5: the old string keys
     # cost ~2x in join hashing/shuffle width, and the old child-key
@@ -668,7 +669,7 @@ def _split_bands(
         children: dict[int, list[int]] = {}
         for sid, used in specs.items():
             used_bits = {off + i for off, w in used for i in range(w)}
-            remaining = sorted(set(range(60)) - used_bits)
+            remaining = sorted(set(range(n_bits)) - used_bits)
             if len(remaining) <= r:
                 continue
             runs: list[tuple[int, int]] = []
@@ -869,6 +870,44 @@ def simhash_near_pairs(
     single-block banding).  Pass an int (1..4) to pin c; c > 1
     together with an explicit n_blocks is rejected as ambiguous.
     -> (doc_id_a, doc_id_b, hamming)."""
+    return hash_near_pairs(
+        simhash64(docs, id_col, text_col),
+        max_hamming=max_hamming,
+        n_bits=60,
+        n_blocks=n_blocks,
+        bucket_threshold=bucket_threshold,
+        max_split_depth=max_split_depth,
+        collapse_identical=collapse_identical,
+        band_combo=band_combo,
+    )
+
+
+def hash_near_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 8,
+    n_bits: int = 60,
+    n_blocks: int | None = None,
+    bucket_threshold: int | None | str = "auto",
+    max_split_depth: int = 4,
+    collapse_identical: bool = False,
+    band_combo: int | str = "auto",
+) -> DataFrame:
+    """EXACT near pairs by Hamming distance over ANY precomputed long
+    hash column — the banding/split/verify engine of simhash_near_pairs
+    exposed for other 64-bit content hashes, e.g. perceptual image
+    hashes: ``hash_near_pairs(images, "image_id", "phash", n_bits=64)``
+    is the image near-dup leg (phash kNN's sibling — pairs instead of
+    rank-k), and connected_components over its output is whole-corpus
+    image dedup.  ``n_bits`` is the hash width the pigeonhole blocks
+    partition (60 for the engine's simhash, 64 for a full-width phash;
+    the verify xors the full 64-bit value either way, so bit 63 /
+    negative hashes are handled).  All other knobs and the exactness
+    invariant are simhash_near_pairs' (see its docstring).
+    -> (doc_id_a, doc_id_b, hamming) with ids from ``id_col``."""
+    if not 1 <= n_bits <= 64:
+        raise ValueError(f"n_bits must be in [1, 64], got {n_bits}")
     if band_combo == "auto":
         band_combo = 2 if n_blocks is None else 1
     if not isinstance(band_combo, int) or not 1 <= band_combo <= 4:
@@ -880,24 +919,27 @@ def simhash_near_pairs(
             raise ValueError(
                 "band_combo > 1 bands on r+combo blocks; do not also pin n_blocks"
             )
-        if max_hamming + band_combo > 60:
+        if max_hamming + band_combo > n_bits:
             raise ValueError(
-                f"max_hamming + band_combo must be <= 60, got {max_hamming + band_combo}"
+                f"max_hamming + band_combo must be <= {n_bits}, got {max_hamming + band_combo}"
             )
     if n_blocks is None:
         n_blocks = max_hamming + band_combo
-    if not 1 <= n_blocks <= 60:
-        raise ValueError(f"n_blocks must be in [1, 60], got {n_blocks}")
+    if not 1 <= n_blocks <= n_bits:
+        raise ValueError(f"n_blocks must be in [1, {n_bits}], got {n_blocks}")
     if isinstance(bucket_threshold, str) and bucket_threshold != "auto":
         raise ValueError(
             f"bucket_threshold must be an int, None, or 'auto', got {bucket_threshold!r}"
         )
     if bucket_threshold == "auto":
         bucket_threshold = _auto_bucket_threshold(0, n_blocks)  # constant
-    sims = simhash64(docs, id_col, text_col)
+    sims = hashes.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).cast("long").alias("simhash")
+    )
     if collapse_identical:
         return _near_pairs_collapsed(
-            sims, max_hamming, n_blocks, bucket_threshold, max_split_depth, band_combo
+            sims, max_hamming, n_blocks, bucket_threshold, max_split_depth,
+            band_combo, n_bits,
         )
     if bucket_threshold is not None:
         # one materialization backs the hot probe AND the verify read;
@@ -905,7 +947,8 @@ def simhash_near_pairs(
         # verify executes on the no-split fast path
         sims = sims.localCheckpoint(eager=True)
     bands = _split_bands(
-        sims, max_hamming, n_blocks, bucket_threshold, max_split_depth, band_combo
+        sims, max_hamming, n_blocks, bucket_threshold, max_split_depth,
+        band_combo, n_bits,
     )
     if bucket_threshold is not None and is_local_checkpoint(bands):
         # the ladder split and re-materialized the band table — the
@@ -922,6 +965,7 @@ def _near_pairs_collapsed(
     bucket_threshold: int | None,
     max_split_depth: int,
     band_combo: int = 1,
+    n_bits: int = 60,
 ) -> DataFrame:
     """simhash_near_pairs(collapse_identical=True) body: band over one
     representative per DISTINCT hash, then re-expand to doc pairs.
@@ -944,6 +988,7 @@ def _near_pairs_collapsed(
         bucket_threshold,
         max_split_depth,
         band_combo,
+        n_bits,
     )
     # rep-level near pairs on rep DOC IDS (numpy bucket verify), then
     # mapped back to their hashes — two joins against the d-row reps

@@ -1457,6 +1457,7 @@ _PRIORITY_NEW = [
     "repetition_stats",
     "corpus_repetition_filter",
     "decontaminate",
+    "phash_near_pairs",
 ]
 
 
@@ -2347,6 +2348,61 @@ def q_token_span_dedup(spark, sf_dir):
 
     toks = tokenize(_t(spark, sf_dir, "documents"))
     return duplicate_spans(toks, span_len=8)
+
+
+_MINLONG = -9223372036854775807 - 1
+
+# deterministic 64-bit perceptual-hash stand-in, identical both engines:
+# md5-60-bit cluster base (clusters of 5) ^ one id-derived bit flip ^
+# sign bit on even ids — exercises the FULL 64-bit path (negative longs)
+_PHASH_BASE_SQL = md5_long_sql("'ph:' || CAST(doc_id // 5 AS VARCHAR)")
+_PHASH_SQL = (
+    f"xor(xor({_PHASH_BASE_SQL}, "
+    "(CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT))), "
+    "CASE WHEN doc_id % 2 = 0 THEN CAST(-9223372036854775807 - 1 AS BIGINT) "
+    "ELSE CAST(0 AS BIGINT) END)"
+)
+
+
+def _phash_frame(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    base = md5_long(F.concat(F.lit("ph:"), F.expr("CAST(doc_id div 5 AS STRING)")))
+    flip = F.expr("shiftleft(cast(1 as bigint), cast(doc_id % 60 as int))")
+    sign = F.when(F.col("doc_id") % 2 == 0, F.lit(_MINLONG)).otherwise(
+        F.lit(0).cast("long")
+    )
+    return d.select(
+        F.col("doc_id").alias("image_id"),
+        base.bitwiseXOR(flip).bitwiseXOR(sign).alias("phash"),
+    )
+
+
+@_register(
+    "phash_near_pairs",
+    f"""
+WITH p AS (SELECT doc_id, {_PHASH_SQL} AS phash FROM documents)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM p a JOIN p b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 6
+""",
+)
+def q_phash_near_pairs(spark, sf_dir):
+    """Image near-dup PAIRS over full 64-bit perceptual hashes (sign
+    bit set on half the corpus): hash_near_pairs — the simhash banding
+    /split/numpy-verify engine generalized to any long hash column
+    (n_bits=64 partitions all 64 bits into the pigeonhole blocks) —
+    vs the brute-force all-pairs oracle.  phash kNN's sibling: pairs
+    for dedup (feed connected_components), rank-k for retrieval."""
+    from lazyosm_spark.operators.dedup import hash_near_pairs
+
+    return hash_near_pairs(
+        _phash_frame(spark, sf_dir),
+        id_col="image_id",
+        hash_col="phash",
+        max_hamming=6,
+        n_bits=64,
+    )
 
 
 def _decontaminate_sql() -> str:

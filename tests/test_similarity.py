@@ -173,6 +173,59 @@ def test_simhash_near_pairs_exact_pigeonhole(spark):
     assert banded == brute
 
 
+def test_hash_near_pairs_64bit_phash(spark):
+    """hash_near_pairs over FULL 64-bit hashes (sign bit set on half
+    the corpus — negative longs) finds exactly the brute-force pairs:
+    the pigeonhole blocks partition all 64 bits and the numpy verify
+    xors the full width."""
+    from pyspark.sql import functions as F
+
+    from lazyosm_spark.operators.dedup import hash_near_pairs
+
+    minlong = -9223372036854775807 - 1
+    # clusters of 4: shared 64-bit base, one id-derived flipped bit,
+    # sign bit on even ids -> intra-cluster hamming <= 3
+    imgs = spark.range(400).select(
+        F.col("id").alias("image_id"),
+        F.expr(
+            "xxhash64(id div 4) "
+            "^ shiftleft(cast(1 as bigint), cast(id % 60 as int)) "
+            f"^ CASE WHEN id % 2 = 0 THEN {minlong} ELSE CAST(0 AS BIGINT) END"
+        ).alias("phash"),
+    )
+    a = imgs.selectExpr("image_id as doc_id_a", "phash as pa")
+    b = imgs.selectExpr("image_id as doc_id_b", "phash as pb")
+    brute = {
+        (r["doc_id_a"], r["doc_id_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .collect()
+    }
+    got = {
+        (r["doc_id_a"], r["doc_id_b"], r["hamming"])
+        for r in hash_near_pairs(
+            imgs, "image_id", "phash", max_hamming=6, n_bits=64
+        ).collect()
+    }
+    assert got == brute
+    assert len(got) >= 400 // 4  # intra-cluster pairs really exist
+    # the collapsed path sees the same pairs on 64-bit hashes too
+    got_c = {
+        (r["doc_id_a"], r["doc_id_b"], r["hamming"])
+        for r in hash_near_pairs(
+            imgs, "image_id", "phash", max_hamming=6, n_bits=64,
+            collapse_identical=True,
+        ).collect()
+    }
+    assert got_c == brute
+
+
 def test_simhash_split_bands_bounds_hot_bucket(spark):
     """A deliberately hot band bucket (400 docs sharing block 0's 7
     bits, everything else random) is recursively split below the
@@ -279,9 +332,9 @@ def test_simhash_default_call_splits_hot_bucket(spark, monkeypatch):
     captured = {}
     real_split = dd._split_bands
 
-    def spy(s, mh, nb, thresh, depth, combo=1):
+    def spy(s, mh, nb, thresh, depth, combo=1, n_bits=60):
         captured["threshold"] = thresh
-        out = real_split(s, mh, nb, thresh, depth, combo).persist()
+        out = real_split(s, mh, nb, thresh, depth, combo, n_bits).persist()
         captured["bands"] = out
         captured["n_level0"] = math.comb(mh + combo, combo) if combo > 1 else nb
         return out
