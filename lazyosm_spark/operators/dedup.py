@@ -363,7 +363,10 @@ def _extract_bits(h: F.Column, ranges: list[tuple[int, int]]) -> F.Column:
     acc = None
     shift = 0
     for off, w in ranges:
-        part = F.shiftright(h, off).bitwiseAND(F.lit((1 << w) - 1).cast("long"))
+        # w == 64 (n_bits=64, n_blocks=1): (1 << 64) - 1 does not fit a
+        # JVM long literal; the all-ones mask is -1 in two's complement
+        mask = (1 << w) - 1 if w < 64 else -1
+        part = F.shiftright(h, off).bitwiseAND(F.lit(mask).cast("long"))
         term = part * F.lit(1 << shift).cast("long") if shift else part
         acc = term if acc is None else acc + term
         shift += w
@@ -933,8 +936,19 @@ def hash_near_pairs(
         )
     if bucket_threshold == "auto":
         bucket_threshold = _auto_bucket_threshold(0, n_blocks)  # constant
+    id_type = hashes.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        # the numpy bucket verify stacks ids as int64 — a string/UUID id
+        # would die mid-job inside the Arrow UDF with an opaque worker
+        # traceback; fail at call time instead (hash the id to a long,
+        # or join string ids back on the output)
+        raise ValueError(
+            f"hash_near_pairs needs an integral {id_col!r} (the numpy "
+            f"verify stacks ids as int64), got {id_type}"
+        )
     sims = hashes.select(
-        F.col(id_col).alias("doc_id"), F.col(hash_col).cast("long").alias("simhash")
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(hash_col).cast("long").alias("simhash"),
     )
     if collapse_identical:
         return _near_pairs_collapsed(

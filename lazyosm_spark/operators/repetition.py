@@ -44,13 +44,24 @@ _EMPTY_STR_ARR = "CAST(array() AS array<string>)"
 
 
 def _words_col(text_col: str) -> F.Column:
-    norm = normalize_text(text_col)
+    # normalize_text's trim strips SPACES only (Spark/DuckDB trim
+    # semantics), so a trailing "\n" or "\t" would survive the collapse
+    # as a trailing space and split into a phantom "" word — the
+    # independent oracle (Python str.strip) has no such artifact.  A
+    # regex trim AFTER the whitespace collapse removes it in both
+    # engines identically.
+    norm = F.regexp_replace(normalize_text(text_col), r"^ | $", "")
     return F.when(norm == "", F.expr(_EMPTY_STR_ARR)).otherwise(F.split(norm, " "))
 
 
 def _lines_col(text_col: str) -> F.Column:
+    # regex trim, not F.trim: lines padded with tabs must compare
+    # equal to their untabbed twins (the oracle strips all whitespace)
     return F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        F.transform(
+            F.split(F.col(text_col), "\n"),
+            lambda x: F.regexp_replace(x, r"^\s+|\s+$", ""),
+        ),
         lambda x: x != "",
     )
 
@@ -128,15 +139,19 @@ def repetition_stats(
 
     nl = F.coalesce("n_l", F.lit(0)).cast("long")
     chars = F.coalesce("chars", F.lit(0)).cast("long")
-    nw = F.size("w").cast("long")
+    nw = F.col("n_words")
+    # narrow spine for the 3-way join: shipping the full word array
+    # through the join exchanges just to take size(w) at the top would
+    # shuffle the whole corpus text again
+    spine = base.select("doc_id", F.size("w").cast("long").alias("n_words"))
     out = (
-        base.join(lagg, "doc_id", "left")
+        spine.join(lagg, "doc_id", "left")
         .join(bagg, "doc_id", "left")
         .join(nagg, "doc_id", "left")
     )
     return out.select(
         "doc_id",
-        nw.alias("n_words"),
+        "n_words",
         nl.alias("n_lines"),
         F.when(nl > 0, F.col("dup_l").cast("double") / nl)
         .otherwise(F.lit(0.0))
@@ -167,11 +182,12 @@ def repetition_stats_sql(
     return f"""
 WITH base AS (
   SELECT {id_col} AS doc_id,
-         CASE WHEN regexp_replace(trim(lower({text_expr})), '\\s+', ' ', 'g') = ''
+         CASE WHEN regexp_replace(regexp_replace(trim(lower({text_expr})), '\\s+', ' ', 'g'), '^ | $', '', 'g') = ''
               THEN CAST([] AS VARCHAR[])
-              ELSE string_split(regexp_replace(trim(lower({text_expr})), '\\s+', ' ', 'g'), ' ')
+              ELSE string_split(regexp_replace(regexp_replace(trim(lower({text_expr})), '\\s+', ' ', 'g'), '^ | $', '', 'g'), ' ')
          END AS w,
-         list_filter(list_transform(string_split({text_expr}, chr(10)), x -> trim(x)),
+         list_filter(list_transform(string_split({text_expr}, chr(10)),
+                                    x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
                      x -> x <> '') AS lines
   FROM {table}
 ),

@@ -40,6 +40,79 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _span_stream(
+    df: DataFrame, ids_col: str, L: int, id_col: str | None = None
+) -> DataFrame:
+    """(id_col?, pos, h): one row per L-token span, h = xxhash64 of the
+    slice — the single definition both operators hash spans with."""
+    expr = (
+        f"CASE WHEN size({ids_col}) >= {L} THEN "
+        f"transform(sequence(1, size({ids_col}) - {L} + 1), "
+        f"i -> struct(i AS pos, xxhash64(slice({ids_col}, i, {L})) AS h)) "
+        f"ELSE CAST(array() AS array<struct<pos:int,h:bigint>>) END"
+    )
+    cols = [F.col(id_col)] if id_col else []
+    return df.select(*cols, F.explode(F.expr(expr)).alias("s")).select(
+        *([id_col] if id_col else []),
+        F.col("s.pos").alias("pos"),
+        F.col("s.h").alias("h"),
+    )
+
+
+def _coverage_agg(hits: DataFrame, id_col: str, L: int) -> DataFrame:
+    """Interval union of the [pos, pos+L) windows per doc: positions
+    strictly increase within a doc, so one lead() folds overlaps.
+    -> (id_col, spans, toks)."""
+    nxt = F.lead("pos").over(Window.partitionBy(id_col).orderBy("pos"))
+    return (
+        hits.withColumn(
+            "covered",
+            F.least(F.coalesce(nxt, F.col("pos") + L), F.col("pos") + L)
+            - F.col("pos"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("spans"),
+            F.sum("covered").cast("long").alias("toks"),
+        )
+    )
+
+
+def _finalize(
+    tok: DataFrame,
+    sizes: DataFrame | None,
+    agg: DataFrame,
+    id_col: str,
+    ids_col: str,
+    spans_name: str,
+    toks_name: str,
+    frac_name: str,
+) -> DataFrame:
+    """Left-join the coverage agg onto the per-doc token counts and
+    emit the zero-filled counts + the guarded ratio."""
+    if sizes is not None:
+        base = sizes.select(id_col, F.col("n_tokens").cast("long").alias("n_tokens"))
+    else:
+        base = tok.select(id_col, F.size(ids_col).cast("long").alias("n_tokens"))
+    out = (
+        base.join(agg, on=id_col, how="left")
+        .withColumn(spans_name, F.coalesce("spans", F.lit(0)).cast("long"))
+        .withColumn(toks_name, F.coalesce("toks", F.lit(0)).cast("long"))
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        spans_name,
+        toks_name,
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col(toks_name).cast("double") / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias(frac_name),
+    )
+
+
 def duplicate_spans(
     tok: DataFrame,
     span_len: int = 50,
@@ -71,52 +144,15 @@ def duplicate_spans(
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     L = int(span_len)
-    spans_expr = (
-        f"CASE WHEN size({ids_col}) >= {L} THEN "
-        f"transform(sequence(1, size({ids_col}) - {L} + 1), "
-        f"i -> struct(i AS pos, xxhash64(slice({ids_col}, i, {L})) AS h)) "
-        f"ELSE CAST(array() AS array<struct<pos:int,h:bigint>>) END"
-    )
-    sp = (
-        tok.select(F.col(id_col), F.explode(F.expr(spans_expr)).alias("s"))
-        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
-    )
+    sp = _span_stream(tok, ids_col, L, id_col)
     hits = (
         sp.withColumn("cnt", F.count("*").over(Window.partitionBy("h")))
         .filter(F.col("cnt") >= int(min_count))
         .drop("cnt")
     )
-    # interval union: positions strictly increase within a doc, so the
-    # union of [pos, pos+L) windows folds with one lead()
-    nxt = F.lead("pos").over(Window.partitionBy(id_col).orderBy("pos"))
-    cov = hits.withColumn(
-        "covered",
-        F.least(F.coalesce(nxt, F.col("pos") + L), F.col("pos") + L) - F.col("pos"),
-    )
-    agg = cov.groupBy(id_col).agg(
-        F.count("*").alias("dup_spans"),
-        F.sum("covered").cast("long").alias("dup_toks"),
-    )
-    if sizes is not None:
-        base = sizes.select(id_col, F.col("n_tokens").cast("long").alias("n_tokens"))
-    else:
-        base = tok.select(id_col, F.size(ids_col).cast("long").alias("n_tokens"))
-    out = (
-        base.join(agg, on=id_col, how="left")
-        .withColumn("n_dup_spans", F.coalesce("dup_spans", F.lit(0)).cast("long"))
-        .withColumn("dup_tokens", F.coalesce("dup_toks", F.lit(0)).cast("long"))
-    )
-    return out.select(
-        id_col,
-        "n_tokens",
-        "n_dup_spans",
-        "dup_tokens",
-        F.when(
-            F.col("n_tokens") > 0,
-            F.col("dup_tokens").cast("double") / F.col("n_tokens"),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("dup_frac"),
+    agg = _coverage_agg(hits, id_col, L)
+    return _finalize(
+        tok, sizes, agg, id_col, ids_col, "n_dup_spans", "dup_tokens", "dup_frac"
     )
 
 
@@ -144,56 +180,15 @@ def contamination(
     if span_len < 1:
         raise ValueError(f"span_len must be >= 1, got {span_len}")
     L = int(span_len)
-
-    def _spans(df: DataFrame, keep_id: bool) -> DataFrame:
-        expr = (
-            f"CASE WHEN size({ids_col}) >= {L} THEN "
-            f"transform(sequence(1, size({ids_col}) - {L} + 1), "
-            f"i -> struct(i AS pos, xxhash64(slice({ids_col}, i, {L})) AS h)) "
-            f"ELSE CAST(array() AS array<struct<pos:int,h:bigint>>) END"
-        )
-        cols = [F.col(id_col)] if keep_id else []
-        return df.select(*cols, F.explode(F.expr(expr)).alias("s")).select(
-            *([id_col] if keep_id else []),
-            F.col("s.pos").alias("pos"),
-            F.col("s.h").alias("h"),
-        )
-
-    eval_hashes = F.broadcast(_spans(eval_tok, keep_id=False).select("h").distinct())
-    hits = _spans(tok, keep_id=True).join(eval_hashes, on="h", how="left_semi")
-    nxt = F.lead("pos").over(Window.partitionBy(id_col).orderBy("pos"))
-    agg = (
-        hits.withColumn(
-            "covered",
-            F.least(F.coalesce(nxt, F.col("pos") + L), F.col("pos") + L)
-            - F.col("pos"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("hit_spans"),
-            F.sum("covered").cast("long").alias("hit_toks"),
-        )
+    eval_hashes = F.broadcast(
+        _span_stream(eval_tok, ids_col, L).select("h").distinct()
     )
-    if sizes is not None:
-        base = sizes.select(id_col, F.col("n_tokens").cast("long").alias("n_tokens"))
-    else:
-        base = tok.select(id_col, F.size(ids_col).cast("long").alias("n_tokens"))
-    out = (
-        base.join(agg, on=id_col, how="left")
-        .withColumn("n_hit_spans", F.coalesce("hit_spans", F.lit(0)).cast("long"))
-        .withColumn("hit_tokens", F.coalesce("hit_toks", F.lit(0)).cast("long"))
+    hits = _span_stream(tok, ids_col, L, id_col).join(
+        eval_hashes, on="h", how="left_semi"
     )
-    return out.select(
-        id_col,
-        "n_tokens",
-        "n_hit_spans",
-        "hit_tokens",
-        F.when(
-            F.col("n_tokens") > 0,
-            F.col("hit_tokens").cast("double") / F.col("n_tokens"),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("hit_frac"),
+    agg = _coverage_agg(hits, id_col, L)
+    return _finalize(
+        tok, sizes, agg, id_col, ids_col, "n_hit_spans", "hit_tokens", "hit_frac"
     )
 
 

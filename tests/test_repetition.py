@@ -128,6 +128,22 @@ def test_sql_twin_matches_engine(spark, tmp_path):
     assert eng == dd
 
 
+def test_nonspace_whitespace_edges(spark):
+    """Trailing newlines / tab padding must not create phantom words
+    or distinct lines (Spark trim strips spaces only — the operator
+    regex-trims so the oracle's str.strip semantics hold)."""
+    texts = {
+        1: "foo bar\n",          # trailing newline: 2 words, not 3
+        2: "\tfoo bar\t\nfoo bar",  # tab-padded line == its clean twin
+        3: "\n\t \n",            # whitespace-only: zero words/lines
+    }
+    _check(spark, texts)
+    got = _run(spark, texts)
+    assert got[1]["n_words"] == 2 and got[1]["top_bigram_frac"] == 1.0
+    assert got[2]["dup_line_frac"] == 1.0
+    assert got[3]["n_words"] == 0 and got[3]["n_lines"] == 0
+
+
 def test_validation(spark):
     from lazyosm_spark.operators.repetition import repetition_stats
 

@@ -226,6 +226,22 @@ def test_hash_near_pairs_64bit_phash(spark):
     assert got_c == brute
 
 
+def test_hash_near_pairs_rejects_string_ids(spark):
+    """A string id would die mid-job inside the numpy verify; the
+    operator must fail fast at call time instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lazyosm_spark.operators.dedup import hash_near_pairs
+
+    imgs = spark.range(10).select(
+        F.concat(F.lit("img-"), F.col("id").cast("string")).alias("image_id"),
+        F.xxhash64("id").alias("phash"),
+    )
+    with pytest.raises(ValueError, match="integral"):
+        hash_near_pairs(imgs, "image_id", "phash", n_bits=64)
+
+
 def test_simhash_split_bands_bounds_hot_bucket(spark):
     """A deliberately hot band bucket (400 docs sharing block 0's 7
     bits, everything else random) is recursively split below the
