@@ -1458,6 +1458,7 @@ _PRIORITY_NEW = [
     "corpus_repetition_filter",
     "decontaminate",
     "phash_near_pairs",
+    "image_dedup_components",
 ]
 
 
@@ -2402,6 +2403,49 @@ def q_phash_near_pairs(spark, sf_dir):
         hash_col="phash",
         max_hamming=6,
         n_bits=64,
+    )
+
+
+_PHASH_PAIRS_SQL = f"""
+WITH p AS (SELECT doc_id, {_PHASH_SQL} AS phash FROM documents)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+FROM p a JOIN p b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 6
+"""
+
+
+@_register(
+    "image_dedup_components",
+    f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_id_a AS a, doc_id_b AS b FROM ({_PHASH_PAIRS_SQL})),
+und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT u.a, reach.r FROM reach JOIN und u ON u.b = reach.id
+)
+SELECT id AS image_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY id
+""",
+)
+def q_image_dedup_components(spark, sf_dir):
+    """Whole-corpus IMAGE dedup end to end: 64-bit perceptual hashes ->
+    hash_near_pairs (banded exact Hamming pairs) -> connected
+    components -> one canonical group id per image — doc_dedup's
+    phash sibling.  Oracle: recursive-CTE reachability closure over
+    the brute-force pair set."""
+    from lazyosm_spark.operators.dedup import hash_near_pairs
+    from lazyosm_spark.operators.graph import connected_components
+
+    imgs = _phash_frame(spark, sf_dir)
+    edges = hash_near_pairs(
+        imgs, id_col="image_id", hash_col="phash", max_hamming=6, n_bits=64
+    ).select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+    out = connected_components(imgs.select("image_id"), edges, node_col="image_id")
+    return out.select(
+        F.col("id").cast("long").alias("image_id"),
+        F.col("component").cast("long").alias("component"),
     )
 
 
