@@ -337,6 +337,75 @@ def main() -> None:
     )
 
     # ------------------------------------------------------------------
+    # 3e'. contamination: the 10^6-doc span corpus vs a 1000-doc eval
+    # set; every 20th corpus doc embeds an eval doc's 50-token prefix —
+    # the broadcast-filter plan at full span-stream width
+    # ------------------------------------------------------------------
+    from lazyosm_spark.operators.spans import contamination
+
+    contam_docs = spark.range(N_SIMHASH_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "transform(sequence(1, 64), j -> cast(pmod("
+            "CASE WHEN id % 20 = 0 AND j <= 50 "
+            "THEN xxhash64('e', (id div 20) % 1000, j) "
+            "ELSE xxhash64(id, j) END, 2147483647) as int))"
+        ).alias("token_ids"),
+    )
+    eval_docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "transform(sequence(1, 64), j -> "
+            "cast(pmod(xxhash64('e', id, j), 2147483647) as int))"
+        ).alias("token_ids"),
+    )
+    timed(
+        "contamination",
+        lambda: contamination(contam_docs, eval_docs, span_len=50)
+        .filter("n_hit_spans > 0")
+        .count(),
+        N_SIMHASH_DOCS,
+        {
+            "span_len": 50,
+            "eval_docs": 1000,
+            "tokens_per_doc": 64,
+            "contaminated_share": "1 in 20",
+        },
+    )
+
+    # ------------------------------------------------------------------
+    # 3e''. hash_near_pairs at n_bits=64: 10^6 clustered perceptual
+    # hashes (clusters of 10, <= 4-bit intra distance, sign bit varies)
+    # through the combination-banded exact pair engine
+    # ------------------------------------------------------------------
+    from lazyosm_spark.operators.dedup import hash_near_pairs
+
+    minlong = -9223372036854775807 - 1
+    ph_items = spark.range(N_PHASH_ITEMS).select(
+        F.col("id").alias("image_id"),
+        F.expr(
+            "xxhash64(id div 10) "
+            "^ shiftleft(cast(1 as bigint), cast(pmod(id, 64) as int)) "
+            "^ shiftleft(cast(1 as bigint), cast(pmod(id * 7 + 13, 64) as int)) "
+            f"^ CASE WHEN id % 2 = 0 THEN {minlong} ELSE CAST(0 AS BIGINT) END"
+        ).alias("phash"),
+    )
+    timed(
+        "hash_near_pairs_phash64",
+        lambda: hash_near_pairs(
+            ph_items, "image_id", "phash", max_hamming=5, n_bits=64
+        ).count(),
+        N_PHASH_ITEMS,
+        {
+            "max_hamming": 5,
+            "n_bits": 64,
+            "band_combo": 2,
+            "cluster_size": 10,
+            "sign_bit": "set on even ids",
+        },
+    )
+
+    # ------------------------------------------------------------------
     # 3f. repetition_stats: the 10^6-doc simhash corpus (20 words each,
     # hot cluster stems) through all three explode+count-window legs
     # ------------------------------------------------------------------
@@ -429,7 +498,15 @@ Context:
   carries one corpus-duplicated span (clusters of 10), so the
   coverage window and the per-doc join run at full width.
 - `repetition_stats` runs all three explode+count-window legs
-  (~4x10^7 exploded rows total) over 10^6 20-word docs."""
+  (~4x10^7 exploded rows total) over 10^6 20-word docs.
+- `contamination` filters the same 1.5x10^7-span stream against a
+  broadcast 15k-hash eval span table — no content shuffle, so the
+  wall is span enumeration + the per-doc fold; exactly the planted
+  1-in-20 docs come back flagged.
+- `hash_near_pairs_phash64` runs full-width 64-bit perceptual hashes
+  (sign bit on half the corpus) through the combination-banded exact
+  engine: 10^5 clusters of 10 -> all 4.5M intra-cluster pairs, zero
+  misses."""
         )
         from tools.mdsplice import splice_marker_block
 
