@@ -43,15 +43,36 @@ from lazyosm_spark.operators.dedup import normalize_text
 _EMPTY_STR_ARR = "CAST(array() AS array<string>)"
 
 
-def _words_col(text_col: str) -> F.Column:
-    # normalize_text's trim strips SPACES only (Spark/DuckDB trim
-    # semantics), so a trailing "\n" or "\t" would survive the collapse
-    # as a trailing space and split into a phantom "" word — the
-    # independent oracle (Python str.strip) has no such artifact.  A
-    # regex trim AFTER the whitespace collapse removes it in both
-    # engines identically.
+def words_col(text_col: str) -> F.Column:
+    """Normalized word array with Python-str.strip() edge semantics —
+    the engine-wide definition of "the words of a document" (shared by
+    repetition_stats and tokenize.word_counts).
+
+    normalize_text's trim strips SPACES only (Spark/DuckDB trim
+    semantics), so a trailing "\\n" or "\\t" would survive the collapse
+    as a trailing space and split into a phantom "" word — the
+    independent oracles (Python str.strip) have no such artifact.  A
+    regex trim AFTER the whitespace collapse removes it in both
+    engines identically; empty text yields an EMPTY array, not [""].
+    """
     norm = F.regexp_replace(normalize_text(text_col), r"^ | $", "")
     return F.when(norm == "", F.expr(_EMPTY_STR_ARR)).otherwise(F.split(norm, " "))
+
+
+_words_col = words_col  # internal alias (pre-existing call sites)
+
+
+def words_sql(text_expr: str) -> str:
+    """DuckDB twin of words_col — the one definition both
+    repetition_stats_sql and the word_counts oracle build on."""
+    norm = (
+        f"regexp_replace(regexp_replace(trim(lower({text_expr})), "
+        "'\\s+', ' ', 'g'), '^ | $', '', 'g')"
+    )
+    return (
+        f"CASE WHEN {norm} = '' THEN CAST([] AS VARCHAR[]) "
+        f"ELSE string_split({norm}, ' ') END"
+    )
 
 
 def _lines_col(text_col: str) -> F.Column:
@@ -182,10 +203,7 @@ def repetition_stats_sql(
     return f"""
 WITH base AS (
   SELECT {id_col} AS doc_id,
-         CASE WHEN regexp_replace(regexp_replace(trim(lower({text_expr})), '\\s+', ' ', 'g'), '^ | $', '', 'g') = ''
-              THEN CAST([] AS VARCHAR[])
-              ELSE string_split(regexp_replace(regexp_replace(trim(lower({text_expr})), '\\s+', ' ', 'g'), '^ | $', '', 'g'), ' ')
-         END AS w,
+         {words_sql(text_expr)} AS w,
          list_filter(list_transform(string_split({text_expr}, chr(10)),
                                     x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
                      x -> x <> '') AS lines

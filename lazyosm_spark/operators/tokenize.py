@@ -130,6 +130,25 @@ def tokenize(
     ).withColumn("n_tokens", F.size("token_ids").cast("long"))
 
 
+def word_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (word, cnt) — the corpus word-frequency table that feeds BPE
+    vocabulary training at scale (tools/train_bpe.py --from-spark runs
+    the identical deterministic merge loop over this output, collected
+    vocab-side).  One shuffle with map-side partial aggregation; word
+    extraction is the engine-wide words_col definition (str.strip edge
+    semantics), so the distributed counts are bit-identical to the
+    trainer's scalar word_freqs on any corpus."""
+    from lazyosm_spark.operators.repetition import words_col
+
+    return (
+        docs.select(F.explode(words_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
 def detokenize(
     df: DataFrame,
     ids_col: str = "token_ids",

@@ -1459,6 +1459,7 @@ _PRIORITY_NEW = [
     "decontaminate",
     "phash_near_pairs",
     "image_dedup_components",
+    "word_counts",
 ]
 
 
@@ -2478,6 +2479,26 @@ def q_decontaminate(spark, sf_dir):
     toks = tokenize(_t(spark, sf_dir, "documents"))
     ev = toks.filter(F.col("doc_id") % 50 == 0)
     return contamination(toks, ev, span_len=8)
+
+
+def _word_counts_sql() -> str:
+    from lazyosm_spark.operators.repetition import words_sql
+
+    return f"""
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest({words_sql('text')}) AS word FROM documents)
+GROUP BY word
+"""
+
+
+@_register("word_counts", _word_counts_sql())
+def q_word_counts(spark, sf_dir):
+    """The corpus word-frequency table that feeds distributed BPE
+    vocabulary training (tools/train_bpe.py --from-spark): one groupBy
+    with map-side partials over the engine-wide words_col definition."""
+    from lazyosm_spark.operators.tokenize import word_counts
+
+    return word_counts(_t(spark, sf_dir, "documents"))
 
 
 def _repetition_sql() -> str:

@@ -91,6 +91,33 @@ def test_committed_spec_reproducible():
     assert spec["tokens"] == ["<unk>"] + BASE + [END_WORD] + [a + b for a, b in merges]
 
 
+def test_distributed_word_counts_match_trainer(spark):
+    """The at-scale vocab path: operators.tokenize.word_counts
+    (distributed groupBy) produces the EXACT word-frequency dict the
+    trainer's scalar word_freqs computes — so --from-spark training
+    reproduces the committed spec byte-for-byte."""
+    import pandas as pd
+
+    from lazyosm_spark.operators.tokenize import word_counts
+    from tools.train_bpe import train, word_freqs
+
+    texts = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])["text"]
+    scalar = word_freqs(texts)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    dist = {r["word"]: r["cnt"] for r in word_counts(docs).collect()}
+    assert dist == scalar
+    # whitespace edges: counts agree where the naive split would differ
+    edge = spark.createDataFrame(
+        [(1, "Foo  bar\n"), (2, "\tfoo BAR"), (3, "\n \t")],
+        "doc_id int, text string",
+    )
+    got = {r["word"]: r["cnt"] for r in word_counts(edge).collect()}
+    assert got == {"foo": 2, "bar": 2}
+    merges = train(dist, 512)
+    spec = json.load(open(SPEC_PATH))
+    assert [list(m) for m in merges] == spec["merges"]
+
+
 def test_tokenize_pack_composition(spark):
     """Raw text -> token ids -> packed sequences end-to-end: packing
     conserves the token stream (chunk count, offsets in range)."""

@@ -15,7 +15,15 @@ counts, collected top-K), with this same loop over the collected
 counts; the fixture corpus skips that step.
 
 Usage:  python tools/train_bpe.py [corpus.parquet] [n_merges]
+        python tools/train_bpe.py --from-spark [corpus.parquet] [n_merges]
 Default corpus: /root/testdata/sf0.001/documents.parquet (TESTDATA.md).
+
+``--from-spark`` is the at-scale path made concrete: the word-frequency
+table comes from the DISTRIBUTED operators.tokenize.word_counts
+(one groupBy, map-side partials) instead of the pandas loop, collected
+vocab-side (words, not documents), then the identical merge loop runs.
+Both paths produce the spec byte-for-byte (pytest pins it) — the
+pandas loop exists only so the committed fixture vocab needs no JVM.
 """
 
 from __future__ import annotations
@@ -83,11 +91,30 @@ def train(freqs: dict[str, int], n_merges: int, min_count: int = 2) -> list[tupl
     return merges
 
 
+def spark_word_freqs(corpus: str) -> dict[str, int]:
+    """The 100 TB path: distributed word counting via
+    operators.tokenize.word_counts, collected vocab-side."""
+    sys.path.insert(0, REPO)
+    from lazyosm_spark import get_spark
+    from lazyosm_spark.operators.tokenize import word_counts
+
+    spark = get_spark(
+        app="train_bpe", cpus=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    docs = spark.read.parquet(corpus).select("text")
+    return {r["word"]: r["cnt"] for r in word_counts(docs).collect()}
+
+
 def main() -> None:
-    corpus = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001/documents.parquet"
-    n_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-    texts = pd.read_parquet(corpus, columns=["text"])["text"]
-    freqs = word_freqs(texts)
+    args = [a for a in sys.argv[1:] if a != "--from-spark"]
+    corpus = args[0] if args else "/root/testdata/sf0.001/documents.parquet"
+    n_merges = int(args[1]) if len(args) > 1 else 512
+    if "--from-spark" in sys.argv:
+        freqs = spark_word_freqs(corpus)
+    else:
+        texts = pd.read_parquet(corpus, columns=["text"])["text"]
+        freqs = word_freqs(texts)
     merges = train(freqs, n_merges)
     tokens = ["<unk>"] + BASE + [END_WORD] + [a + b for a, b in merges]
     assert len(set(tokens)) == len(tokens), "duplicate token strings"
