@@ -1460,6 +1460,7 @@ _PRIORITY_NEW = [
     "phash_near_pairs",
     "image_dedup_components",
     "word_counts",
+    "fx_stream_decontaminate",
 ]
 
 
@@ -2499,6 +2500,37 @@ def q_word_counts(spark, sf_dir):
     from lazyosm_spark.operators.tokenize import word_counts
 
     return word_counts(_t(spark, sf_dir, "documents"))
+
+
+@_register_fixture("fx_stream_decontaminate", _decontaminate_sql())
+def q_fx_stream_decontaminate(spark, sf_dir):
+    """Eval-set decontamination in STRUCTURED STREAMING (two arrival
+    waves through foreachBatch, epoch-overwrite idempotent sink): the
+    flagged set and every per-doc stat must equal the batch operator —
+    spans never cross documents, so streaming is exact, and the oracle
+    is literally the batch query's SQL."""
+    import os as _os
+    import tempfile
+
+    from lazyosm_spark.operators.tokenize import tokenize
+    from lazyosm_spark.streaming.pipeline import stream_decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = tokenize(docs.filter(F.col("doc_id") % 50 == 0))
+    split = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    d = tempfile.mkdtemp(prefix="sdecon_q_")
+    docs.filter(F.col("doc_id") <= split).write.parquet(_os.path.join(d, "in", "w1"))
+    docs.filter(F.col("doc_id") > split).write.parquet(_os.path.join(d, "in", "w2"))
+    q = stream_decontaminate(
+        spark, _os.path.join(d, "in") + "/*",
+        "doc_id long, text string", ev,
+        _os.path.join(d, "out"), _os.path.join(d, "ck"),
+        span_len=8,
+    )
+    q.awaitTermination(240)
+    return spark.read.parquet(_os.path.join(d, "out")).select(
+        "doc_id", "n_tokens", "n_hit_spans", "hit_tokens", "hit_frac"
+    )
 
 
 def _repetition_sql() -> str:

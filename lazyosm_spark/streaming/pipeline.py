@@ -448,3 +448,49 @@ def stream_tokenize_pack(
         "doc_id", "lang", "n_tokens"
     )
     return _pack_token_stream(toks, output_dir, checkpoint_dir, ctx_len)
+
+
+def stream_decontaminate(
+    spark: SparkSession,
+    input_dir: str,
+    input_schema: str,
+    eval_tok: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    span_len: int = 13,
+    spec_path: str | None = None,
+) -> StreamingQuery:
+    """Streaming eval-set decontamination: tail raw-text parquet,
+    tokenize each micro-batch with the broadcast BPE merges, and flag
+    every doc sharing a ``span_len``-token run with the STATIC eval
+    set (operators/spans.contamination).  Per-doc hit stats are exact
+    under streaming because spans never cross documents and documents
+    arrive whole — the operator runs unchanged per micro-batch via
+    foreachBatch (its lead() coverage window is batch-local), with the
+    epoch-overwrite idempotent sink of stream_tile_points.  The eval
+    span hashes broadcast once per batch plan; at 100 TB/day this is
+    the ingest-time filter in front of the training sink."""
+    from lazyosm_spark.operators.spans import contamination
+    from lazyosm_spark.operators.tokenize import tokenize
+
+    stream = spark.readStream.schema(input_schema).parquet(input_dir)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        toks = tokenize(batch_df, spec_path=spec_path)
+        flagged = contamination(toks, eval_tok, span_len=span_len)
+        (
+            flagged.withColumn("epoch", F.lit(epoch_id))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("epoch")
+            .parquet(output_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

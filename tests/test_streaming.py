@@ -393,3 +393,39 @@ def test_stream_tokenize_pack_matches_batch(spark):
             for r in batch.collect()
         }
         assert got == want and len(got) == 120
+
+
+def test_stream_decontaminate_equals_batch(spark, tmp_path):
+    """Two arrival waves through the streaming decontaminator produce
+    exactly the batch operator's per-doc stats (spans never cross
+    documents, so streaming is semantically exact)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lazyosm_spark.operators.spans import contamination
+    from lazyosm_spark.operators.tokenize import tokenize
+    from lazyosm_spark.streaming.pipeline import stream_decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ev = tokenize(docs.filter(F.col("doc_id") % 10 == 0))
+    batch = {
+        r["doc_id"]: (r["n_tokens"], r["n_hit_spans"], r["hit_tokens"])
+        for r in contamination(tokenize(docs), ev, span_len=6).collect()
+    }
+    d = str(tmp_path)
+    docs.filter("doc_id % 2 = 0").write.parquet(os.path.join(d, "in", "w1"))
+    docs.filter("doc_id % 2 = 1").write.parquet(os.path.join(d, "in", "w2"))
+    q = stream_decontaminate(
+        spark, os.path.join(d, "in") + "/*", "doc_id long, text string",
+        ev, os.path.join(d, "out"), os.path.join(d, "ck"), span_len=6,
+    )
+    q.awaitTermination(240)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_hit_spans"], r["hit_tokens"])
+        for r in spark.read.parquet(os.path.join(d, "out")).collect()
+    }
+    assert got == batch
+    assert any(v[1] > 0 for v in got.values())  # eval docs really flagged
