@@ -101,6 +101,18 @@ def main() -> None:
             ["--generate", "--images", images, "--n-images", str(n_images),
              "--img-size-mult", str(size_mult), "--cpus", "32"]
         )
+        # box-health sentinel: this VM has multi-minute DEGRADED PHASES
+        # (round-5: the same binary read 0.89 and 0.66 on the 2->8 pair
+        # within one day, with the raw ceiling itself down ~30%).  A
+        # pre-run 2-proc ceiling, compared against the post-run measure
+        # below, makes mid-run degradation visible IN the report
+        # instead of requiring post-hoc archaeology.
+        import time as _time
+
+        # same settle discipline as the post-run measure: a winding-down
+        # JVM depresses the ceiling up to 2x for ~20s
+        _time.sleep(20)
+        hw_pre = max(measure_hw_ceiling(2, size_mult) for _ in range(2))
         r = {}
         for cpus in levels:
             out = os.path.join(work, f"out_{cpus}")
@@ -137,6 +149,16 @@ def main() -> None:
         )
         hw_percore = " -> ".join(
             f"{hw[n] / n / 1000:.1f}k ({n})" for n in levels
+        )
+        hw_ratio = hw[2] / hw_pre if hw_pre else float("nan")
+        box_health = (
+            f"pre-run 2-proc ceiling {hw_pre / 1000:.1f}k imgs/s vs "
+            f"post-run {hw[2] / 1000:.1f}k (ratio {hw_ratio:.2f}) — "
+            + ("box STABLE across the run"
+               if 0.8 <= hw_ratio <= 1.25
+               else "box DEGRADED/RECOVERED MID-RUN: pair efficiencies "
+               "below reflect box drift, not the engine; re-run settled "
+               "(see the variance section)")
         )
         met = all(eff(a, b) >= 0.8 for a, b in clean_pairs)
         gate_detail = ", ".join(
@@ -183,6 +205,8 @@ Gate (>= 0.8 N -> 4N, required on EVERY clean-regime pair — no
 best-pair selection): **{"MET" if met else "NOT MET"}** ({gate_detail};
 absolute engine efficiency, no ceiling adjustment).
 
+Box-health sentinel: {box_health}.
+
 Hardware-ceiling context (raw multiprocessing decode, NO Spark,
 settled + max-of-2 per level): per-core throughput
 {hw_percore} imgs/s — near-linear for this workload, so losses at the
@@ -220,6 +244,9 @@ Method notes:
 - Scan splits are sized so tasks >> cores (`--max-partition-mb`,
   default 16MB here; 128MB at 100 TB where files are many).
 """
+        if "--no-write" in sys.argv:  # smoke/dry runs: report only
+            print(md)
+            return
         path = os.path.join(REPO, "BENCH", "BASELINE.md")
         # splice boundaries are EXPLICIT marker comments, never heading
         # substrings (round-4 ADVICE: a renamed heading or a matching
