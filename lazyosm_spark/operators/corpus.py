@@ -36,6 +36,8 @@ def filter_corpus(
     max_pii: int | None = None,
     max_top_bigram_frac: float | None = None,
     max_dup_ngram_frac: float | None = None,
+    max_span_dup_frac: float | None = None,
+    span_len: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -49,7 +51,13 @@ def filter_corpus(
     the Gopher/C4 repetition leg (operators/repetition): drop docs
     whose modal bigram owns more than the given share of bigram slots
     or whose duplicated-trigram word coverage exceeds the bound — one
-    shared repetition_stats pass when either is set."""
+    shared repetition_stats pass when either is set.
+    ``max_span_dup_frac`` (optional) adds the Lee-et-al corpus-wide
+    span-dedup leg (operators/spans): BPE-tokenize the corpus and drop
+    docs whose duplicated ``span_len``-token coverage exceeds the
+    bound — the substring-level signal exact dedup and near-dup
+    clustering both miss (a doc can be 60% copied without any whole
+    near-duplicate)."""
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     q = _text.quality_score(d).select("doc_id", "quality")
     lang = _text.langid(d).select("doc_id", "lang_pred")
@@ -88,6 +96,23 @@ def filter_corpus(
                 F.col("dup_ngram_word_frac") <= F.lit(max_dup_ngram_frac)
             )
         out = out.join(rep.filter(cond).select("doc_id"), "doc_id", "left_semi")
+    if max_span_dup_frac is not None:
+        from lazyosm_spark.operators.spans import duplicate_spans
+        from lazyosm_spark.operators.tokenize import tokenize
+
+        toks = tokenize(d)
+        spans = duplicate_spans(
+            toks.select("doc_id", "token_ids"),
+            span_len=span_len,
+            sizes=toks.select("doc_id", "n_tokens"),
+        )
+        out = out.join(
+            spans.filter(F.col("dup_frac") <= F.lit(max_span_dup_frac)).select(
+                "doc_id"
+            ),
+            "doc_id",
+            "left_semi",
+        )
     if near_dup_threshold is not None:
         from lazyosm_spark.operators.graph import dedup_representatives
 

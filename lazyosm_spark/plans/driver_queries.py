@@ -1461,6 +1461,7 @@ _PRIORITY_NEW = [
     "image_dedup_components",
     "word_counts",
     "fx_stream_decontaminate",
+    "corpus_span_filter",
 ]
 
 
@@ -2549,6 +2550,51 @@ def q_repetition_stats(spark, sf_dir):
     from lazyosm_spark.operators.repetition import repetition_stats
 
     return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _corpus_span_sql(
+    min_quality: float = 0.25, lang: str = "en", max_span_dup: float = 0.5
+) -> str:
+    from lazyosm_spark.operators.spans import duplicate_spans_sql
+
+    toks = (
+        "(SELECT doc_id, list_transform(string_split(ids_csv, ','), "
+        f"x -> CAST(x AS INT)) AS ids FROM {_golden('bpe_tokens_sf001')}) AS g"
+    )
+    return f"""
+WITH q AS ({ORACLES['quality_score']}),
+l AS ({ORACLES['langid']}),
+reps AS ({ORACLES['exact_dedup']}),
+sp AS ({duplicate_spans_sql(toks, span_len=8)})
+SELECT d.doc_id, l.lang_pred, q.quality
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN l ON l.doc_id = d.doc_id
+WHERE q.quality >= {min_quality!r}
+  AND l.lang_pred = '{lang}'
+  AND d.doc_id IN (SELECT doc_id FROM reps)
+  AND d.doc_id IN (SELECT doc_id FROM sp WHERE dup_frac <= {max_span_dup!r})
+"""
+
+
+@_register_fixture("corpus_span_filter", _corpus_span_sql())
+def q_corpus_span_filter(spark, sf_dir):
+    """filter_corpus composed WITH the Lee-et-al span-dedup leg: docs
+    whose duplicated 8-token-span coverage exceeds half their tokens
+    drop alongside quality / langid / exact dedup — the
+    substring-level removal whole-doc dedup misses.  The leg
+    BPE-tokenizes inside the plan and passes the tokenizer's own
+    n_tokens as the sizes hint (no second tokenize pass)."""
+    from lazyosm_spark.operators.corpus import filter_corpus
+
+    out = filter_corpus(
+        _t(spark, sf_dir, "documents"),
+        min_quality=0.25,
+        langs=("en",),
+        max_span_dup_frac=0.5,
+        span_len=8,
+    )
+    return out.select("doc_id", "lang_pred", "quality")
 
 
 def _sample_sql() -> str:

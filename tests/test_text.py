@@ -163,3 +163,39 @@ def test_filter_corpus_repetition_leg(spark):
     }
     assert kept == base & ok
     assert len(base) > len(kept)
+
+
+def test_filter_corpus_span_dedup_leg(spark):
+    """The span-dedup bound composes into filter_corpus: exactly the
+    docs whose duplicated-span coverage exceeds the threshold (per
+    tokenize + duplicate_spans themselves) drop relative to the same
+    filter without the leg."""
+    from lazyosm_spark.operators.corpus import filter_corpus
+    from lazyosm_spark.operators.spans import duplicate_spans
+    from lazyosm_spark.operators.tokenize import tokenize
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {
+        r["doc_id"]
+        for r in filter_corpus(
+            docs, min_quality=0.0, langs=("en", "de", "fr")
+        ).collect()
+    }
+    kept = {
+        r["doc_id"]
+        for r in filter_corpus(
+            docs,
+            min_quality=0.0,
+            langs=("en", "de", "fr"),
+            max_span_dup_frac=0.5,
+            span_len=8,
+        ).collect()
+    }
+    ok = {
+        r["doc_id"]
+        for r in duplicate_spans(tokenize(docs), span_len=8)
+        .filter("dup_frac <= 0.5")
+        .collect()
+    }
+    assert kept == base & ok
+    assert len(base) > len(kept)
