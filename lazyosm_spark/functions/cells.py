@@ -131,6 +131,44 @@ def k_ring(cell, k: int) -> Column:
     return F.transform(valid, lambda c: pack_cell(c["x"], c["y"], res))
 
 
+def ring_parent_cover(lon, lat, res: int, ring: int) -> Column:
+    """Cells at ``res - 1`` covering the Chebyshev-``ring`` neighborhood
+    of the ``res`` cell containing (lon, lat) — at most
+    (floor(ring/2)+1+...)^2 cells; exactly <= 4 for ring=1.
+
+    The stream-side dual of ``k_ring`` for kNN joins: instead of
+    exploding each QUERY to its (2*ring+1)^2 ring cells and broadcasting
+    that blown-up frame (a serial hash-relation build of
+    |queries| x ring_cells rows), broadcast the query panel UN-exploded
+    keyed by its single ``res - 1`` cell and explode the POINT side to
+    this parent cover.  The join then yields a SUPERSET of the k_ring
+    candidates (p in ring(q) => cell(q) in ring(p) => parent(cell(q))
+    is one of p's ring-covering parents), and every candidate NOT in
+    the ring is farther than the ring guarantee, so grid_knn's retire
+    rule and output are unchanged (proof in operators/knn.grid_knn).
+
+    ``res`` is a Python int >= 1 (constant-folded codegen).
+    """
+    if res < 1:
+        raise ValueError("ring_parent_cover requires res >= 1")
+    x, y = lon_to_x(lon, res), lat_to_y(lat, res)
+    n1 = F.lit((1 << (res - 1)) - 1).cast("long")
+    zero = F.lit(0).cast("long")
+    # floor((x±ring)/2) via arithmetic shift (floors negatives), clamped
+    px0 = F.greatest(zero, F.shiftright(x - ring, 1))
+    px1 = F.least(n1, F.shiftright(x + ring, 1))
+    py0 = F.greatest(zero, F.shiftright(y - ring, 1))
+    py1 = F.least(n1, F.shiftright(y + ring, 1))
+    return F.flatten(
+        F.transform(
+            F.sequence(px0, px1),
+            lambda xx: F.transform(
+                F.sequence(py0, py1), lambda yy: pack_cell(xx, yy, res - 1)
+            ),
+        )
+    )
+
+
 def ring_shell(cell, k: int) -> Column:
     """Only the cells at exactly Chebyshev distance ``k`` (ring k shell)."""
     if k == 0:

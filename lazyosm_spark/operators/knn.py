@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from lazyosm_spark.functions.cells import cell_encode, k_ring
+from lazyosm_spark.functions.cells import cell_encode, k_ring, ring_parent_cover
 from lazyosm_spark.functions.hashing import hamming64
 
 
@@ -56,13 +56,21 @@ def pick_res(
     n_points: int, k: int, start_ring: int = 1, target_candidates: int | None = None
 ) -> int:
     """Density-derived start resolution: expected ring candidates per
-    query ~= target_candidates (default max(32, 4k)).  The per-query
-    window top-k is candidate-linear, so this is the dominant-cost
-    tuning knob; grid_knn's result is res-INVARIANT (exactness comes
-    from the distance bound + escalation)."""
+    query ~= target_candidates (default max(256, 48k)).  grid_knn's
+    result is res-INVARIANT (exactness comes from the distance bound +
+    escalation), so this is pure plan tuning.  The default targets
+    ~pi/18 x tc ~= max(45, 8.4k) expected candidates inside the
+    guarantee circle — enough margin over k that escalation is a
+    never-executed safety net on roughly uniform data.  Round-6
+    A/B (BENCH/r06): the old max(32, 4k) target left ~9% of a 200k
+    panel escalating at sf1 (an extra full point pass + driver round
+    trip per level, 7.1s median); 48k retired everything at level 0
+    (4.0s); 96k over-coarsened (window input x4, 8.2s).  The window
+    top-k is candidate-linear, so going coarser than the escalation
+    break-even only adds cost."""
     import math
 
-    tc = target_candidates or max(32, 4 * k)
+    tc = target_candidates or max(256, 48 * k)
     ring_cells = (2 * start_ring + 1) ** 2
     # pts/cell = n / 4^res; solve ring_cells * pts/cell ~= tc.  ROUND
     # (not floor) the half-log: flooring overshot realized candidates
@@ -116,6 +124,8 @@ def grid_knn(
     n_points: int | None = None,
     n_queries: int | None = None,
     broadcast_rows: int = 4_000_000,
+    explode_broadcast_rows: int | None = None,
+    compact_points_rows: int = 100_000_000,
     materialize: bool = True,
     points_prepared: DataFrame | None = None,
     prepared_res: int | None = None,
@@ -141,9 +151,8 @@ def grid_knn(
     Join-side dispatch: whenever the pending count is KNOWN (the
     ``n_queries`` hint at level 0 — no count job is added for unhinted
     callers — and the emptiness probe's count() at every later level)
-    and pending x ring_cells <= ``broadcast_rows``, the exploded query
-    side is broadcast and the points table is only SCANNED, never
-    shuffled.
+    and pending x ring_cells <= ``broadcast_rows``, the query side is
+    broadcast and the points table is only SCANNED, never shuffled.
     This matters twice: at level 0 a small-panel query set turns the
     whole level into one scan + one candidate shuffle, and at
     escalation levels (a handful of pending stragglers by design) it
@@ -151,6 +160,36 @@ def grid_knn(
     that re-shuffle would dwarf the actual work.  Above the threshold
     (huge query panels) both sides shuffle on the cell key, the
     all-pairs-safe plan.
+
+    WHICH side explodes depends on the pending size
+    (``explode_broadcast_rows``, guide §3.1: a broadcast hash relation
+    is built SERIALLY, ~2.5 us/row on this box, so a big exploded panel
+    turns into seconds of single-thread build time).  The default
+    (None) balances the two serial-equivalent costs: the ring build is
+    ~2.5 us x pending x ring_cells on ONE thread, the stream explode
+    adds ~3 extra probe rows per POINT spread over every core, so the
+    crossover sits near 3 x n_points / parallelism exploded rows
+    (131072 when n_points is unknown):
+
+    - small pending (pending x ring_cells <= explode_broadcast_rows):
+      explode pending to its (2*ring+1)^2 ring cells at res_l and
+      broadcast that — the points side streams with ONE probe per
+      point, candidates are exactly the ring candidates.
+    - large pending (above the threshold, level 0 of a big panel):
+      broadcast pending UN-EXPLODED keyed by its single res_l - 1 cell
+      and explode the POINT side to its <= 4 ring-covering parent cells
+      (cells.ring_parent_cover).  The build side shrinks ring_cells x
+      (the serial build cost drops with it); the stream side pays
+      (ring+?)-cell explode probes, which parallelize across cores.
+      Candidates become a SUPERSET of the ring candidates — p in
+      ring(q) implies parent(cell(q)) is among p's ring-covering
+      parents — but every within-guarantee point lies inside the ring
+      (|dx|,|dy| <= guarantee = ring * cell_h <= one cell extent), so
+      the post-filter candidate set, the retire decisions, and the
+      exact top-k output are all UNCHANGED — the plan shape is pure
+      tuning, like the broadcast/shuffle dispatch itself.  (res_l = 0
+      has no parent grid; the terminal level always uses the ring
+      formulation.)
 
     The ``n_queries`` hint is ADVISORY and trusted as given (validating
     it would cost the very count job the hint exists to skip, and a
@@ -160,6 +199,13 @@ def grid_knn(
     x ring_cells, a memory hazard well past ``broadcast_rows``.  Pass
     the exact panel count or nothing; a missing hint only costs the
     shuffle plan at level 0, never correctness.
+
+    ``compact_points_rows`` gates COMPACT MODE (see the inline comment):
+    a known-small points table is round-robin repartitioned to core
+    count and persisted for the ladder's lifetime, so probe stages are
+    not capped at the source's parquet row-group parallelism (guide
+    §2.5 input skew).  Points above the threshold — the 100 TB shape —
+    are never shuffled or cached, exactly as before.
 
     ``materialize=True`` (default) eagerly localCheckpoints the final
     union and unpersists every per-level cache, so a finished call
@@ -203,8 +249,9 @@ def grid_knn(
         if prepared_res is not None:
             res = prepared_res
         else:
-            n = points.count() if n_points is None else n_points
-            res = pick_res(n, k, start_ring, target_candidates)
+            if n_points is None:
+                n_points = points.count()  # also enables compact mode
+            res = pick_res(n_points, k, start_ring, target_candidates)
     # ids keep their INPUT type: numeric ids sort/shuffle cheaper than
     # their string casts in the top-k window; callers needing string
     # tie-break semantics (e.g. the DuckDB-oracle twins) pre-cast.
@@ -218,6 +265,32 @@ def grid_knn(
         F.col("lon").alias("plon"),
         F.col("lat").alias("plat"),
     )
+    # COMPACT MODE (guide §2.5 input skew): a source whose files carry
+    # few parquet row groups caps every level's probe stage at
+    # row-group parallelism (measured: sf1 lineitem has 6 row groups,
+    # so the 32-core box ran the 24M-probe stage 6-wide — q50 task
+    # 0.28s, q100 5.1s).  When the point count is KNOWN and small
+    # enough that one shuffle is cheap, round-robin repartition the
+    # 3-column projection once and persist it for the ladder's
+    # lifetime; every level then probes the cache core-wide instead of
+    # re-scanning the skewed source per level.  At 10^12 points
+    # (n_points > compact_points_rows, or unknown) the points table is
+    # NEVER shuffled or cached — the original streaming plan.
+    own_points_cache: DataFrame | None = None
+    dp = points.sparkSession.sparkContext.defaultParallelism
+    if (
+        points_prepared is None
+        and n_points is not None
+        and 0 < n_points <= compact_points_rows
+    ):
+        p = p.repartition(dp).persist()
+        own_points_cache = p
+    if explode_broadcast_rows is None:
+        explode_broadcast_rows = (
+            max(65_536, 3 * n_points // max(dp, 1))
+            if n_points is not None
+            else 131_072
+        )
 
     # resolution ladder: stop at the first level the ring fully covers
     # (Chebyshev radius >= grid_dim - 1 -> every cell is in the ring)
@@ -245,37 +318,63 @@ def grid_knn(
         is_final = i == len(levels) - 1
         cell_h = 180.0 / (1 << res_l)  # lat extent of a cell (tighter bound)
         guarantee = float(start_ring * cell_h)
-        exploded = pending.select(
-            "query_id",
-            "qlon",
-            "qlat",
-            F.explode(
-                k_ring(cell_encode("qlon", "qlat", res_l), start_ring)
-            ).alias("pcell"),
+        stream_explode = (
+            res_l >= 1
+            and n_pending is not None
+            and n_pending * ring_cells > explode_broadcast_rows
+            and n_pending <= broadcast_rows
         )
-        if n_pending is not None and n_pending * ring_cells <= broadcast_rows:
-            exploded = F.broadcast(exploded)
-        if points_prepared is not None and res_l == prepared_res:
-            pl = points_prepared  # cached, pre-encoded, co-located
-        elif points_prepared is not None:
-            # coarser level off the CACHED frame: same encode
-            # expression as the cold path -> identical result, but the
-            # scan serves from memory, never the source table
-            pl = points_prepared.select("neighbor_id", "plon", "plat").withColumn(
-                "pcell", cell_encode("plon", "plat", res_l)
-            )
-        else:
-            pl = p.withColumn("pcell", cell_encode("plon", "plat", res_l))
-        cand = (
-            exploded
-            .join(pl, "pcell")
-            .select(
+        base_p = (
+            points_prepared.select("neighbor_id", "plon", "plat")
+            if points_prepared is not None
+            else p
+        )
+        if stream_explode:
+            # big-panel plan: broadcast pending un-exploded (single
+            # res_l - 1 key), explode the POINT side to its ring-
+            # covering parents — candidate superset, identical output
+            # (see docstring); no ring_cells-x serial relation build
+            qside = pending.select(
                 "query_id",
-                "neighbor_id",
-                F.sqrt(
-                    _dist2(F.col("qlon"), F.col("qlat"), F.col("plon"), F.col("plat"))
-                ).alias("dist"),
+                "qlon",
+                "qlat",
+                cell_encode("qlon", "qlat", res_l - 1).alias("pcell"),
             )
+            pl = base_p.select(
+                "neighbor_id",
+                "plon",
+                "plat",
+                F.explode(
+                    ring_parent_cover("plon", "plat", res_l, start_ring)
+                ).alias("pcell"),
+            )
+            cand = pl.join(F.broadcast(qside), "pcell")
+        else:
+            exploded = pending.select(
+                "query_id",
+                "qlon",
+                "qlat",
+                F.explode(
+                    k_ring(cell_encode("qlon", "qlat", res_l), start_ring)
+                ).alias("pcell"),
+            )
+            if n_pending is not None and n_pending * ring_cells <= broadcast_rows:
+                exploded = F.broadcast(exploded)
+            if points_prepared is not None and res_l == prepared_res:
+                pl = points_prepared  # cached, pre-encoded, co-located
+            else:
+                # coarser level / cold path: encode at res_l (off the
+                # cached frame when prepared — scan serves from memory)
+                pl = base_p.withColumn(
+                    "pcell", cell_encode("plon", "plat", res_l)
+                )
+            cand = exploded.join(pl, "pcell")
+        cand = cand.select(
+            "query_id",
+            "neighbor_id",
+            F.sqrt(
+                _dist2(F.col("qlon"), F.col("qlat"), F.col("plon"), F.col("plat"))
+            ).alias("dist"),
         )
         # Non-final levels: a query retires iff its rank-k distance over
         # ALL ring candidates is <= guarantee — which holds iff it has
@@ -323,12 +422,19 @@ def grid_knn(
     if materialize:
         # one copy of the RESULT replaces all intermediate caches:
         # after this epilogue the operator leaves nothing persisted
-        # behind except the checkpoint blocks the returned frame reads
+        # behind except the checkpoint blocks the returned frame reads.
+        # (A tempting "skip the checkpoint when one level retired all"
+        # shortcut is WRONG here: leaving `ok` persisted makes Spark's
+        # CacheManager substitute it into the next structurally
+        # identical call's plan — cross-call result memoization, which
+        # both games repeat-benchmarks and leaks one cache per call.)
         out = out.localCheckpoint(eager=True)
         for part in done_parts:
             part.unpersist()
         if prev_pending is not None:
             prev_pending.unpersist()
+        if own_points_cache is not None:
+            own_points_cache.unpersist()
     return out
 
 

@@ -247,6 +247,64 @@ def test_grid_knn_equals_bruteforce(spark):
     assert got == want
 
 
+def test_grid_knn_stream_explode_identical(spark):
+    """The big-panel plan (pending broadcast un-exploded at res-1,
+    POINTS exploded to ring_parent_cover — r6 optimization) must be
+    bit-identical to the exploded-pending plan and to brute force:
+    the candidate superset argument in grid_knn's docstring, pinned."""
+    from lazyosm_spark.operators.knn import grid_knn, knn_brute
+
+    pts = _points(400)
+    pdf = spark.createDataFrame(pts, "point_id string, lon double, lat double")
+    q = spark.createDataFrame(
+        pts[:60], "query_id string, lon double, lat double"
+    )
+    kw = dict(k=5, n_points=400, n_queries=60)
+    # explode_broadcast_rows=0 forces stream-explode at every level >= 1
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["dist"])
+        for r in grid_knn(q, pdf, explode_broadcast_rows=0, **kw).collect()
+    }
+    legacy = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["dist"])
+        for r in grid_knn(q, pdf, explode_broadcast_rows=1 << 40, **kw).collect()
+    }
+    brute = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["dist"])
+        for r in knn_brute(q, pdf, k=5).collect()
+    }
+    assert got == legacy == brute
+
+
+def test_ring_parent_cover_superset(spark):
+    """Property pin for cells.ring_parent_cover: for every cell C in
+    k_ring(cell(p), ring), parent(C) is in ring_parent_cover(p, ring) —
+    the containment that makes the stream-explode join a candidate
+    superset — and the cover stays <= (ring+1)^2 cells, all in-grid."""
+    from lazyosm_spark.functions.cells import (
+        cell_encode,
+        cell_parent,
+        k_ring,
+        ring_parent_cover,
+    )
+
+    pdf = spark.createDataFrame(
+        _points(500), "point_id string, lon double, lat double"
+    )
+    for res, ring in [(1, 1), (3, 1), (7, 1), (7, 2), (12, 1)]:
+        rows = pdf.select(
+            F.transform(
+                k_ring(cell_encode("lon", "lat", res), ring),
+                lambda c: cell_parent(c, res - 1),
+            ).alias("ring_parents"),
+            ring_parent_cover("lon", "lat", res, ring).alias("cover"),
+        ).collect()
+        for r in rows:
+            assert set(r["ring_parents"]) <= set(r["cover"]), (res, ring)
+            assert len(r["cover"]) <= (ring + 1) ** 2
+            assert len(set(r["cover"])) == len(r["cover"])
+
+
 def _phash_corpus(spark, n_items: int, n_queries: int, n_clusters: int):
     """Deterministic near-dup phash world: cluster base = xxhash64 of
     the cluster id; members/queries flip 1..8 bits off the base —
