@@ -60,6 +60,19 @@ def with_shingles(
     pipeline per hash seed (measured 10x slowdown).  Uses the Arrow
     tokenizer for the default trigram case (10x the JVM expression,
     element-identical); other n fall back to the JVM expression."""
+    from lazyosm_spark.plans.scan import ensure_scan_parallelism
+
+    # few-row-group sources pin the Arrow tokenizer + the 8 md5-min
+    # signature passes to 1-2 tasks (guide §2.5); the guard adds no
+    # shuffle on well-split (production-scale) inputs.  Width dp/4:
+    # the LSH pipeline downstream runs ~10 query stages over this
+    # frame's cache, and per-stage overhead scales with task count
+    # (A/B table in plans/scan.py) — 2 heavy map stages only need
+    # enough width to stop being the bottleneck.
+    sc = docs.sparkSession.sparkContext
+    docs = ensure_scan_parallelism(
+        docs, target=max(8, sc.defaultParallelism // 4)
+    )
     if ngram == 3:
         from lazyosm_spark.functions.hashing import shingles_pandas
 

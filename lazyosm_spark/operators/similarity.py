@@ -47,21 +47,31 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """-> (query_id, neighbor_id, rank, cos) exact top-k by cosine.
-    Ties break by neighbor id asc."""
+    Ties break by neighbor id asc.
+
+    Per-side norms are computed ONCE before the pair join (r6: the
+    per-pair form re-ran both _norm aggregates for every one of the
+    |q| x |items| pairs — same doubles, 3x the HOF work), and the items
+    side is round-robin repartitioned to core count first: this
+    operator is the O(|q| x |items|) exact baseline, so the one cheap
+    exchange is dwarfed by the pair compute it parallelizes (single-
+    row-group parquet otherwise pins the whole cross join to 1-2 tasks
+    — guide §2.5 input skew; measured 2 tasks / 2.1 s at sf1)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     it = items.select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("nv"),
-    )
+    ).withColumn("nn", _norm(F.col("nv")))
+    it = it.repartition(items.sparkSession.sparkContext.defaultParallelism)
     cand = it.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    cos = _dot(F.col("qv"), F.col("nv")) / (
-        _norm(F.col("qv")) * _norm(F.col("nv"))
-    )
+    # identical doubles to the per-pair form: same aggregate expression
+    # over the same array, evaluated once per row instead of per pair
+    cos = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
