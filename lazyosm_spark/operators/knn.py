@@ -19,9 +19,11 @@ mandates grid kNN via cell-ring expansion.  Design:
   equi-join on a handful of coarse cell keys, and only the queries
   whose k-th neighbor is ~a grid-quadrant away ever reach it).
   Each level is a plain Spark equi-join — the loop is driver-side over
-  DataFrames, never over rows, with exactly ONE driver action (an
-  emptiness count) per executed level; at typical densities level 0
-  satisfies every query and the whole operator is two Spark jobs.
+  DataFrames, never over rows, with exactly ONE driver action (a count
+  of the retired rows, which proves emptiness arithmetically when the
+  pending count is known) per retiring level and one more per
+  escalating level; at typical densities level 0 satisfies every query
+  and the whole operator is a handful of Spark jobs.
 
 Distance is planar Euclidean in degrees (documented engine semantic;
 fixtures pin it).  Ties break by neighbor id ascending (SURVEY.md §7
@@ -400,11 +402,23 @@ def grid_knn(
         done_parts.append(ok)
         if is_final:
             break
+        # the ONE action per retiring level: materializes `ok` into
+        # cache (it is reused by the final union) and doubles as the
+        # emptiness probe.  At a NON-final level a query retires iff
+        # its rank-k row exists, so every retired query contributes
+        # EXACTLY k rows — n_retired = count(ok) // k, and when the
+        # pending count is known the level can prove "everyone retired"
+        # WITHOUT executing the anti-join (r6: the anti-join's
+        # broadcast build of up to |panel| x k ids was a serial
+        # relation build + an extra job on the common path).  A panel
+        # with duplicate query ids under-counts retires here, which
+        # only costs one provably-empty extra level, never correctness.
+        n_ok = ok.count()
+        if n_pending is not None and n_pending - n_ok // k <= 0:
+            break
+        # someone (or an unknown count) is still pending: build the
+        # next pending frame and count it for real
         nxt = pending.join(ok.select("query_id"), "query_id", "left_anti").persist()
-        # the ONE action per level: materializes `ok` into cache (it is
-        # reused by the final union) and doubles as the emptiness probe
-        # (a limit(1).count() probe would re-execute the whole upstream
-        # plan under AQE)
         n_pending = nxt.count()
         if n_pending == 0:
             nxt.unpersist()
