@@ -13,8 +13,13 @@ the composition's DuckDB twin is the same SQL legs CTE-joined):
             [AND doc is its near-dup CLUSTER's  (minhash LSH ->
                  representative]                 connected components)
 
-At scale every leg is one shuffle or less; the joins are all on doc_id
-(co-partitioned after the first shuffle, AQE reuses the exchange).
+At scale the DEFAULT legs (quality, langid, exact-dedup representative,
+optional PII bound) are ONE text scan + ONE shuffle: all four signals
+are map-side expressions computed in a single projection, and the
+representative rule is a window min over the text hash (r6 — the
+previous shape joined three separately-scanned frames back on doc_id).
+The aggregation-bearing optional legs (repetition, span dedup, near-dup
+clustering) remain one-shuffle semi-joins on doc_id.
 """
 
 from __future__ import annotations
@@ -58,32 +63,44 @@ def filter_corpus(
     bound — the substring-level signal exact dedup and near-dup
     clustering both miss (a doc can be 60% copied without any whole
     near-duplicate)."""
-    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    q = _text.quality_score(d).select("doc_id", "quality")
-    lang = _text.langid(d).select("doc_id", "lang_pred")
-    reps = _dedup.exact_dedup(d).select("doc_id")
+    from pyspark.sql import Window
 
+    from lazyosm_spark.operators.dedup import normalize_text
+    from lazyosm_spark.functions.hashing import md5_long
+
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    # SINGLE-PASS curate (r6, guide §2.3/§2.4): quality, langid, the
+    # exact-dedup text hash, and (when requested) the PII hit count are
+    # all map-side expressions over the same text, so one projection
+    # computes them together — the previous shape built three separate
+    # frames and joined them back on doc_id (3 text scans + 3 shuffles;
+    # measured 22-30 s of a 40 s corpus_make run at 10^6 docs).  The
+    # dedup-representative rule (keep the min doc_id of each
+    # normalized-text group, computed over the FULL corpus before any
+    # quality/lang filtering — unchanged semantics) becomes a window
+    # min over the hash: ONE shuffle total for the default legs.
+    base_cols = [
+        F.col("doc_id"),
+        _text.quality_exprs("text")["quality"].alias("quality"),
+        _text.langid_exprs("text")["lang_pred"].alias("lang_pred"),
+        md5_long(normalize_text("text")).alias("_text_hash"),
+    ]
+    if max_pii is not None:
+        # counted over the FULL corpus on purpose (pre-filter), same
+        # as the previous semi-join leg
+        base_cols.append(_text.pii_chain_exprs("text")[2].alias("_n_pii"))
+    base = d.select(*base_cols)
+    w = Window.partitionBy("_text_hash")
     out = (
-        d.select("doc_id")
-        .join(q, "doc_id")
-        .join(lang, "doc_id")
-        .join(reps, "doc_id", "left_semi")
+        base.withColumn("_rep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_rep_id"))
         .filter(
             (F.col("quality") >= F.lit(min_quality))
             & F.col("lang_pred").isin(*langs)
         )
     )
     if max_pii is not None:
-        # counted over the FULL corpus on purpose: the chain is pure
-        # map-side expressions (no shuffle), and restricting it to the
-        # quality/lang survivors would re-evaluate those legs a second
-        # time (or force caching `out`) for a workload-dependent win
-        pii = _text.pii_scrub(d).select("doc_id", "n_pii")
-        out = out.join(
-            pii.filter(F.col("n_pii") <= max_pii).select("doc_id"),
-            "doc_id",
-            "left_semi",
-        )
+        out = out.filter(F.col("_n_pii") <= max_pii)
     if max_top_bigram_frac is not None or max_dup_ngram_frac is not None:
         from lazyosm_spark.operators.repetition import repetition_stats
 
@@ -100,7 +117,12 @@ def filter_corpus(
         from lazyosm_spark.operators.spans import duplicate_spans
         from lazyosm_spark.operators.tokenize import tokenize
 
-        toks = tokenize(d)
+        # materialize the tokenize output ONCE: duplicate_spans consumes
+        # it twice (span stream + sizes), and the sizes "hint" derived
+        # from the LIVE tokenize plan re-ran the BPE UDF for the second
+        # leg (ADVICE r5) — a checkpoint makes both legs read a
+        # two-column scan of the materialized frame instead
+        toks = tokenize(d).localCheckpoint(eager=True)
         spans = duplicate_spans(
             toks.select("doc_id", "token_ids"),
             span_len=span_len,

@@ -59,11 +59,11 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """-> (doc_id, len_score, punct_ratio, stop_ratio, quality).
-
-    quality = len_score * (1 - punct_ratio) * (0.5 + 0.5*stop_ratio) —
-    a transparent, fully-SQL heuristic (each factor checkable)."""
+def quality_exprs(text_col: str = "text") -> dict[str, F.Column]:
+    """The quality_score factors as named column EXPRESSIONS — pure
+    map-side, so composite operators (filter_corpus's single-pass
+    curate) can evaluate them alongside other signals in one scan
+    instead of computing a separate frame and joining it back."""
     t = F.col(text_col)
     toks = F.split(normalize_text(text_col), " ")
     n_chars = F.length(t).cast("double")
@@ -74,19 +74,29 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     punct_ratio = punct / F.greatest(n_chars, F.lit(1.0))
     stop_ratio = stop_hits / F.greatest(F.size(toks).cast("double"), F.lit(1.0))
+    return {
+        "len_score": len_score,
+        "punct_ratio": punct_ratio,
+        "stop_ratio": stop_ratio,
+        "quality": len_score * (1 - punct_ratio) * (0.5 + 0.5 * stop_ratio),
+    }
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, len_score, punct_ratio, stop_ratio, quality).
+
+    quality = len_score * (1 - punct_ratio) * (0.5 + 0.5*stop_ratio) —
+    a transparent, fully-SQL heuristic (each factor checkable)."""
+    qx = quality_exprs(text_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        len_score.alias("len_score"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stop_ratio"),
-        (len_score * (1 - punct_ratio) * (0.5 + 0.5 * stop_ratio)).alias("quality"),
+        *[qx[name].alias(name) for name in ("len_score", "punct_ratio", "stop_ratio", "quality")],
     )
 
 
-def langid(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Stopword-hit langid: score = hits/|tokens| per language, argmax
-    wins (ties -> lexicographically first language). -> (doc_id,
-    lang_pred, score)."""
+def langid_exprs(text_col: str = "text") -> dict[str, F.Column]:
+    """The langid winner as named column EXPRESSIONS (map-side
+    composable, see quality_exprs)."""
     toks = F.split(normalize_text(text_col), " ")
 
     def in_words(ws: list[str]):
@@ -110,10 +120,18 @@ def langid(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     maxscore = F.array_max(F.transform(scored, lambda s: s["score"]))
     winners = F.filter(scored, lambda s: s["score"] == maxscore)
     best = F.element_at(F.array_sort(winners), 1)
+    return {"lang_pred": best["lang"], "score": best["score"]}
+
+
+def langid(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-hit langid: score = hits/|tokens| per language, argmax
+    wins (ties -> lexicographically first language). -> (doc_id,
+    lang_pred, score)."""
+    lx = langid_exprs(text_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        best["lang"].alias("lang_pred"),
-        best["score"].alias("score"),
+        lx["lang_pred"].alias("lang_pred"),
+        lx["score"].alias("score"),
     )
 
 
@@ -279,6 +297,22 @@ def pii_scrub(
     -> (id_col, clean_text, n_<pattern>..., n_pii).  The DuckDB twin
     is generated from the SAME pattern table (pii_scrub_sql), so the
     engines can never drift."""
+    cur, counts, total = pii_chain_exprs(text_col, patterns)
+    return docs.select(
+        F.col(id_col),
+        cur.alias("clean_text"),
+        *counts,
+        total.alias("n_pii"),
+    )
+
+
+def pii_chain_exprs(
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> tuple[F.Column, list[F.Column], F.Column]:
+    """pii_scrub's redaction chain as EXPRESSIONS -> (clean_text,
+    [n_<pattern> cols], n_pii total) — the one definition pii_scrub
+    and filter_corpus's single-pass curate both evaluate."""
     counts = []
     cur = F.col(text_col)
     for name, pat, token in patterns:
@@ -291,12 +325,7 @@ def pii_scrub(
     total = counts[0]
     for c in counts[1:]:
         total = total + c
-    return docs.select(
-        F.col(id_col),
-        cur.alias("clean_text"),
-        *counts,
-        total.cast("long").alias("n_pii"),
-    )
+    return cur, counts, total.cast("long")
 
 
 def pii_scrub_sql(

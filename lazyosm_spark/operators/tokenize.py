@@ -123,10 +123,17 @@ def tokenize(
             out.append(ids)
         return pd.Series(out)
 
+    # the words_col edge trim (repetition.words_col): normalize_text's
+    # trim strips SPACES only, so a trailing "\n"/"\t" would survive the
+    # collapse as an edge space and split(' ') would emit a phantom ""
+    # word encoding as a bare end-of-word token — diverging from the
+    # scalar oracle's str.strip semantics (ADVICE r5, verified latent:
+    # the committed corpora carry no edge whitespace)
+    norm = F.regexp_replace(normalize_text(text_col), r"^ | $", "")
     return docs.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
-        enc(normalize_text(text_col)).alias("token_ids"),
+        enc(norm).alias("token_ids"),
     ).withColumn("n_tokens", F.size("token_ids").cast("long"))
 
 
@@ -164,9 +171,15 @@ def detokenize(
     @F.pandas_udf("string")
     def dec(ids: pd.Series) -> pd.Series:
         toks = bc.value
+        n = len(toks)
+        # out-of-range / negative ids decode to the literal '<unk>'
+        # marker (ADVICE r5: raw toks[i] silently wrapped negatives via
+        # Python indexing and died mid-job on ids >= len(tokens))
         return pd.Series(
             [
-                "".join(toks[i] for i in row).replace(END_WORD, " ").strip()
+                "".join(toks[i] if 0 <= i < n else "<unk>" for i in row)
+                .replace(END_WORD, " ")
+                .strip()
                 for row in ids
             ]
         )

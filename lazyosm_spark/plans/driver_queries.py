@@ -2583,8 +2583,9 @@ def q_corpus_span_filter(spark, sf_dir):
     whose duplicated 8-token-span coverage exceeds half their tokens
     drop alongside quality / langid / exact dedup — the
     substring-level removal whole-doc dedup misses.  The leg
-    BPE-tokenizes inside the plan and passes the tokenizer's own
-    n_tokens as the sizes hint (no second tokenize pass)."""
+    BPE-tokenizes ONCE into an eager checkpoint and feeds both the
+    span stream and the sizes hint from it (r6: the hint taken off the
+    live tokenize plan re-ran the BPE UDF for the sizes leg)."""
     from lazyosm_spark.operators.corpus import filter_corpus
 
     out = filter_corpus(

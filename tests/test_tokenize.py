@@ -41,6 +41,39 @@ def test_tokenize_matches_scalar_oracle(spark):
         assert got[doc_id] == bpe_ref.encode(text, spec), doc_id
 
 
+def test_tokenize_edge_whitespace_matches_oracle(spark):
+    """Docs with leading/trailing \\n or \\t (common: newline-terminated
+    files) must encode identically to the scalar oracle's str.strip
+    semantics — the ADVICE r5 phantom-''-word fix: normalize_text trims
+    spaces only, so edge whitespace used to leave an edge space whose
+    split emitted a bare end-of-word token.  Also pins out-of-range ids
+    decoding to the literal '<unk>' instead of wrapping/IndexError."""
+    from tests.oracle import bpe_ref
+
+    from lazyosm_spark.operators.tokenize import detokenize, tokenize
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello\n"),
+            (2, "\tworld trailing\t\n"),
+            (3, "\n\nonly newlines\n"),
+            (4, " padded with spaces "),
+            (5, "\n"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: list(r["token_ids"]) for r in tokenize(docs).collect()}
+    spec = _spec()
+    for doc_id, text in [(r["doc_id"], r["text"]) for r in docs.collect()]:
+        assert got[doc_id] == bpe_ref.encode(text, spec), (doc_id, got[doc_id])
+
+    bad = spark.createDataFrame(
+        [(1, [72, -1, 9_999_999])], "doc_id long, token_ids array<int>"
+    )
+    out = detokenize(bad).collect()[0]["text"]
+    assert out == "h<unk><unk>", out
+
+
 def test_detokenize_round_trip(spark):
     """detokenize(tokenize(text)) == normalized text, byte-identical,
     for the whole fixture corpus (printable-ASCII alphabet)."""
