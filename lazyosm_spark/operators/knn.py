@@ -137,7 +137,7 @@ def grid_knn(
 
     ``res=None`` (default) picks the start resolution from point
     density so the expected ring candidate count per query is about
-    ``target_candidates`` (default max(32, 4k)): the per-query window
+    ``target_candidates`` (default max(256, 48k)): the per-query window
     top-k is the dominant cost and scales linearly with candidates, so
     over-coarse cells waste a multiple of the whole runtime.  The
     result is res-INVARIANT (exactness comes from the distance bound +
