@@ -204,10 +204,10 @@ def grid_knn(
 
     ``compact_points_rows`` gates COMPACT MODE (see the inline comment):
     a known-small points table is round-robin repartitioned to core
-    count and persisted for the ladder's lifetime, so probe stages are
-    not capped at the source's parquet row-group parallelism (guide
-    §2.5 input skew).  Points above the threshold — the 100 TB shape —
-    are never shuffled or cached, exactly as before.
+    count, so probe stages are not capped at the source's parquet
+    row-group parallelism (guide §2.5 input skew).  Points above the
+    threshold — the 100 TB shape — are never shuffled, exactly as
+    before.
 
     ``materialize=True`` (default) eagerly localCheckpoints the final
     union and unpersists every per-level cache, so a finished call
@@ -273,20 +273,24 @@ def grid_knn(
     # so the 32-core box ran the 24M-probe stage 6-wide — q50 task
     # 0.28s, q100 5.1s).  When the point count is KNOWN and small
     # enough that one shuffle is cheap, round-robin repartition the
-    # 3-column projection once and persist it for the ladder's
-    # lifetime; every level then probes the cache core-wide instead of
-    # re-scanning the skewed source per level.  At 10^12 points
-    # (n_points > compact_points_rows, or unknown) the points table is
-    # NEVER shuffled or cached — the original streaming plan.
-    own_points_cache: DataFrame | None = None
+    # 3-column projection; the probe then runs core-wide off the
+    # exchange.  At 10^12 points (n_points > compact_points_rows, or
+    # unknown) the points table is NEVER shuffled — the original
+    # streaming plan.
     dp = points.sparkSession.sparkContext.defaultParallelism
     if (
         points_prepared is None
         and n_points is not None
         and 0 < n_points <= compact_points_rows
     ):
-        p = p.repartition(dp).persist()
-        own_points_cache = p
+        # NOT persisted (r6 A/B): with the pick_res default the ladder
+        # is single-level in the common case, so the repartitioned
+        # frame is consumed exactly once — caching it cost a fill pass
+        # + an extra AQE materialization (interleaved medians: 4.3-7.4s
+        # cached vs 3.4s plain at sf1).  A rare escalation level
+        # re-runs scan+exchange, which is correct and cheaper than
+        # paying the cache on every call.
+        p = p.repartition(dp)
     if explode_broadcast_rows is None:
         explode_broadcast_rows = (
             max(65_536, 3 * n_points // max(dp, 1))
@@ -447,8 +451,6 @@ def grid_knn(
             part.unpersist()
         if prev_pending is not None:
             prev_pending.unpersist()
-        if own_points_cache is not None:
-            own_points_cache.unpersist()
     return out
 
 
